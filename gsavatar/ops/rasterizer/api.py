@@ -1,0 +1,78 @@
+"""Public differentiable rasterizer API.
+
+Replaces the reference's `GaussianRasterizer` call
+(gaussian_renderer/__init__.py:100-129) with a single fused-by-XLA pipeline:
+project -> tile-assign -> sort -> composite. One call returns the color image
+AND the alpha/opacity image (the reference needs a second full rasterizer pass
+for that — we read it off the same transmittance accumulator for free).
+
+Differentiability contract (SURVEY.md §2.9): gradients flow to means3d,
+colors, opacities, cov3d, and — through `means2d_offset`, a zeros tensor the
+caller passes in — to the 2D screen means in the same NDC*half-size units the
+CUDA kernel reports (used for densification stats).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from . import composite as _composite
+from . import project as _project
+from . import tiling as _tiling
+from .project import TILE
+
+
+@struct.dataclass
+class RasterizeConfig:
+    width: int = struct.field(pytree_node=False, default=512)
+    height: int = struct.field(pytree_node=False, default=512)
+    max_pairs: int = struct.field(pytree_node=False, default=2 ** 21)
+    per_tile_capacity: int = struct.field(pytree_node=False, default=512)
+    chunk: int = struct.field(pytree_node=False, default=64)
+
+    @property
+    def grid_x(self) -> int:
+        return (self.width + TILE - 1) // TILE
+
+    @property
+    def grid_y(self) -> int:
+        return (self.height + TILE - 1) // TILE
+
+
+class RasterizeResult(NamedTuple):
+    image: jnp.ndarray          # (H, W, 3)
+    alpha: jnp.ndarray          # (H, W)
+    radii: jnp.ndarray          # (N,) int32; >0 == visible
+    n_pairs: jnp.ndarray        # () int32
+    pair_overflow: jnp.ndarray  # () int32
+    tile_overflow: jnp.ndarray  # () int32
+
+
+def rasterize(means3d, colors, opacities, cov3d, *, viewmatrix,
+              full_projmatrix, tanfovx, tanfovy, background,
+              config: RasterizeConfig, active=None,
+              means2d_offset=None) -> RasterizeResult:
+    """means3d (N,3); colors (N,3) precomputed RGB; opacities (N,1) or (N,);
+    cov3d (N,6) upper-triangular world covariance; matrices row-vector
+    convention (Camera fields); background (3,); active (N,) bool arena mask;
+    means2d_offset (N,2) zeros hook for screen-space gradients."""
+    proj = _project.project(
+        means3d, cov3d, viewmatrix, full_projmatrix, tanfovx, tanfovy,
+        config.width, config.height, active=active,
+        means2d_offset=means2d_offset)
+
+    assign = _tiling.build_tile_assignment(
+        proj, config.grid_x, config.grid_y, config.max_pairs,
+        config.per_tile_capacity)
+
+    comp = _composite.composite(
+        assign.tile_gauss_idx, proj.means2d, proj.conics, colors, opacities,
+        background, config.grid_x, config.grid_y, config.width, config.height,
+        chunk=config.chunk)
+
+    return RasterizeResult(
+        image=comp.image, alpha=comp.alpha, radii=proj.radii,
+        n_pairs=assign.n_pairs, pair_overflow=assign.pair_overflow,
+        tile_overflow=assign.tile_overflow)

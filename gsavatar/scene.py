@@ -1,0 +1,229 @@
+"""Scene orchestration: datasets + arena + converter + optimizers + ckpts.
+
+Parity: scene/__init__.py of the reference (Scene), reorganized functionally:
+the Scene owns host-side objects (datasets, metadata, module definitions,
+optimizer definitions) while all device state lives in a TrainState pytree
+that the jitted step functions consume and return."""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from gsavatar.config import Config
+from gsavatar.core import densify as densify_mod
+from gsavatar.core import gaussians as G
+from gsavatar.core import optim as arena_optim
+from gsavatar.data import load_dataset
+from gsavatar.models.converter import GaussianConverter, build_converter
+from gsavatar.ops.rasterizer import RasterizeConfig
+from gsavatar.ops.sampling import sample_skinning_pool
+from gsavatar.smpl.body_model import find_assets
+from gsavatar.utils import transforms as T
+
+
+@struct.dataclass
+class TrainState:
+    gauss_params: G.GaussianParams
+    gauss_aux: G.GaussianAux
+    gauss_adam: arena_optim.ArenaAdamState
+    conv_params: Any
+    conv_opt: Any
+    rng: Any
+
+
+def converter_optimizer(cfg, iterations: int) -> optax.GradientTransformation:
+    """Single Adam over the converter with per-group LRs + per-step
+    exponential decay + latent weight decay + global-norm clip
+    (models/gaussian_converter.py:22-39,61-67)."""
+    opt = cfg.opt
+    gamma = float(opt.lr_ratio) ** (1.0 / iterations)
+
+    def group(lr, wd=0.0):
+        chain = []
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15))
+        chain.append(optax.scale_by_schedule(
+            lambda t: -float(lr) * gamma ** t))
+        return optax.chain(*chain)
+
+    wd = float(opt.get('latent_weight_decay', 0.05))
+    transforms = {
+        'rigid': group(opt.get('rigid_lr', 0.0)),
+        'non_rigid': group(opt.get('non_rigid_lr', 0.0)),
+        'nr_latent': group(opt.get('nr_latent_lr', 0.0), wd),
+        'pose_correction': group(opt.get('pose_correction_lr', 0.0)),
+        'texture': group(opt.get('texture_lr', 0.0)),
+        'tex_latent': group(opt.get('tex_latent_lr', 0.0), wd),
+    }
+
+    def label_fn(params):
+        def label(path):
+            names = [str(p) for p in path]
+            top = names[1] if names and names[0] == 'params' else names[0]
+            is_latent = any(n == 'latent' for n in names)
+            if top == 'rigid':
+                return 'rigid'
+            if top == 'non_rigid':
+                return 'nr_latent' if is_latent else 'non_rigid'
+            if top == 'pose_correction':
+                return 'pose_correction'
+            if top == 'texture':
+                return 'tex_latent' if is_latent else 'texture'
+            return 'non_rigid'
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: label([getattr(k, 'key', getattr(k, 'idx', ''))
+                                   for k in path]), params)
+
+    grad_clip = float(cfg.opt.get('grad_clip', 0.0))
+    mt = optax.multi_transform(transforms, label_fn)
+    if grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(grad_clip), mt)
+    return mt
+
+
+class Scene:
+    def __init__(self, cfg: Config, seed: int = 0):
+        self.cfg = cfg
+        self.mode = cfg.get('mode', 'train')
+
+        self.train_dataset = load_dataset(cfg.dataset, split='train')
+        self.metadata = self.train_dataset.metadata
+        split = {'train': 'val', 'test': 'test',
+                 'predict': 'predict'}[self.mode]
+        self.test_dataset = load_dataset(cfg.dataset, split=split)
+        self.cameras_extent = float(self.metadata['cameras_extent'])
+
+        gcfg = cfg.model.gaussian
+        self.use_sh = bool(gcfg.use_sh)
+        self.max_sh_degree = int(gcfg.get('sh_degree', 3))
+        self.feature_dim = int(gcfg.get('feature_dim', 32))
+        self.capacity = int(gcfg.get('capacity', 1 << 17))
+
+        # SMPL assets (reference layout or synthetic fallback; the synthetic
+        # dataset carries its own)
+        if hasattr(self.train_dataset, 'assets'):
+            self.assets = self.train_dataset.assets
+        else:
+            self.assets = find_assets(cfg.get('body_models_dir'),
+                                      self.metadata.get('gender', 'neutral'))
+
+        self.converter: GaussianConverter = build_converter(
+            cfg, self.metadata, assets=self.assets)
+
+        h, w = cfg.dataset.img_hw
+        r = cfg.get('rasterizer', Config({}))
+        self.raster_config = RasterizeConfig(
+            width=int(w), height=int(h),
+            max_pairs=int(r.get('max_pairs', 2 ** 21)),
+            per_tile_capacity=int(r.get('per_tile_capacity', 512)),
+            chunk=int(r.get('chunk', 64)))
+
+        self.background = jnp.asarray(
+            [1.0, 1.0, 1.0] if cfg.dataset.white_background else [0.0, 0.0, 0.0])
+
+        # skinning-loss sample pool (ops/sampling.py docstring)
+        md = self.metadata
+        pool_pts, pool_w = sample_skinning_pool(
+            md['smpl_verts'], md['faces'], md['skinning_weights'],
+            pool_size=int(cfg.opt.get('skinning_pool_size', 65536)))
+        aabb = md['aabb']
+        self.skinning_pool_pts = jnp.asarray(
+            np.asarray(aabb.normalize(jnp.asarray(pool_pts), sym=True)))
+        self.skinning_pool_w = jnp.asarray(pool_w)
+        self.n_reg_pts = int(cfg.opt.get('n_reg_pts', 1024))
+
+        # xyz LR schedule (gaussian_model.py:217-228)
+        opt = cfg.opt
+        self.xyz_lr_fn = T.expon_lr_schedule(
+            lr_init=float(opt.position_lr_init) * self.cameras_extent,
+            lr_final=float(opt.position_lr_final) * self.cameras_extent,
+            lr_delay_mult=float(opt.position_lr_delay_mult),
+            max_steps=int(opt.position_lr_max_steps))
+
+        self._seed = seed
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TrainState:
+        cfg = self.cfg
+        points, colors = self.train_dataset.readPointCloud()
+        gauss_params, gauss_aux = G.create_from_pcd(
+            points, colors, self.capacity, self.use_sh, self.max_sh_degree,
+            self.feature_dim)
+        gauss_adam = arena_optim.init_adam(gauss_params)
+
+        rng = jax.random.PRNGKey(self._seed)
+        rng, init_key = jax.random.split(rng)
+        cam0 = self.train_dataset[0]
+        gview = G.make_view(gauss_params, gauss_aux,
+                            active_sh_degree=0,
+                            max_sh_degree=self.max_sh_degree,
+                            use_sh=self.use_sh)
+        conv_params = self.converter.init(init_key, gview, cam0, 0)
+
+        self.conv_tx = converter_optimizer(cfg, int(cfg.opt.iterations))
+        conv_opt = self.conv_tx.init(conv_params)
+
+        return TrainState(gauss_params=gauss_params, gauss_aux=gauss_aux,
+                          gauss_adam=gauss_adam, conv_params=conv_params,
+                          conv_opt=conv_opt, rng=rng)
+
+    def gauss_lrs(self, iteration):
+        """Per-field LRs for the arena Adam (gaussian_model.py:206-216)."""
+        opt = self.cfg.opt
+        feature_ratio = 20.0 if self.use_sh else 1.0
+        return {
+            'xyz': self.xyz_lr_fn(iteration),
+            'features_dc': float(opt.feature_lr),
+            'features_rest': float(opt.feature_lr) / feature_ratio,
+            'opacity': float(opt.opacity_lr),
+            'scaling': float(opt.scaling_lr),
+            'rotation': float(opt.rotation_lr),
+        }
+
+    def active_sh_degree(self, iteration: int) -> int:
+        """SH degree ramp: +1 every 1000 iters up to max (train.py:92-94)."""
+        if not self.use_sh:
+            return 0
+        return min(iteration // 1000, self.max_sh_degree)
+
+    # -- checkpointing (scene/__init__.py:86-105) ----------------------
+    def save_checkpoint(self, state: TrainState, iteration: int,
+                        save_dir: str):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(save_dir, f"ckpt{iteration}"))
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, {
+            'gauss_params': state.gauss_params, 'gauss_aux': state.gauss_aux,
+            'gauss_adam': state.gauss_adam, 'conv_params': state.conv_params,
+            'conv_opt': state.conv_opt, 'rng': state.rng,
+            'iteration': iteration,
+        }, force=True)
+        return path
+
+    def load_checkpoint(self, path: str) -> tuple:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        template = self.init_state()
+        restored = ckptr.restore(os.path.abspath(path), item={
+            'gauss_params': template.gauss_params,
+            'gauss_aux': template.gauss_aux,
+            'gauss_adam': template.gauss_adam,
+            'conv_params': template.conv_params,
+            'conv_opt': template.conv_opt, 'rng': template.rng,
+            'iteration': 0,
+        })
+        state = TrainState(
+            gauss_params=restored['gauss_params'],
+            gauss_aux=restored['gauss_aux'],
+            gauss_adam=restored['gauss_adam'],
+            conv_params=restored['conv_params'],
+            conv_opt=restored['conv_opt'], rng=restored['rng'])
+        return state, int(restored['iteration'])

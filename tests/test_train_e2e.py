@@ -1,0 +1,108 @@
+"""End-to-end: synthetic scene -> full avatar stack -> train steps ->
+loss decreases; densify/prune and opacity reset run without breaking."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsavatar.config import load_config
+from gsavatar.scene import Scene
+from gsavatar.train import loss_weights, make_densify_step, make_train_step
+
+
+def tiny_cfg(**kv):
+    ov = [
+        "dataset=synthetic",
+        "dataset.img_hw=[64,64]",
+        "dataset.n_verts=512",
+        "dataset.n_points=768",
+        "dataset.n_target_gaussians=512",
+        "dataset.train_frames=[0,2,1]",
+        "dataset.train_views=['0']",
+        "model.gaussian.capacity=1024",
+        "model.gaussian.delay=0",
+        "rasterizer.max_pairs=65536",
+        "rasterizer.per_tile_capacity=128",
+        "rasterizer.chunk=32",
+        "opt.skinning_pool_size=2048",
+        "opt.n_reg_pts=128",
+    ] + [f"{k}={v}" for k, v in kv.items()]
+    return load_config(overrides=ov)
+
+
+@pytest.fixture(scope="module")
+def scene_state():
+    cfg = tiny_cfg()
+    scene = Scene(cfg, seed=0)
+    state = scene.init_state()
+    return cfg, scene, state
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, scene_state):
+        cfg, scene, state = scene_state
+        step = make_train_step(scene)
+        camera = scene.train_dataset[0]
+        first = None
+        for it in range(1, 31):
+            w = loss_weights(cfg, it)
+            w['_in_densify_window'] = 0.0
+            state, metrics = step(state, camera, jnp.int32(it), w,
+                                  1e-3, active_sh_degree=0)
+            loss = float(metrics['loss/total_loss'])
+            assert np.isfinite(loss)
+            if first is None:
+                first = loss
+        assert loss < first, (first, loss)
+        assert int(metrics['overflow/pairs']) == 0
+        assert int(metrics['overflow/tile']) == 0
+
+    def test_densify_and_reset(self, scene_state):
+        cfg, scene, state = scene_state
+        step = make_train_step(scene)
+        densify_step, opacity_reset = make_densify_step(scene)
+        camera = scene.train_dataset[0]
+        n0 = int(jnp.sum(state.gauss_aux.alive))
+        for it in range(1, 6):
+            w = loss_weights(cfg, it)
+            w['_in_densify_window'] = 1.0
+            state, metrics = step(state, camera, jnp.int32(it), w, 1e-3,
+                                  active_sh_degree=0)
+        # stats accumulated
+        assert float(jnp.sum(state.gauss_aux.denom)) > 0
+        state, info = densify_step(state, jax.random.PRNGKey(0), False)
+        n1 = int(info['n_alive'])
+        assert n1 > 0
+        assert int(info['n_dropped']) == 0
+        # stats were reset
+        assert float(jnp.sum(state.gauss_aux.denom)) == 0.0
+        state = opacity_reset(state)
+        op = jax.nn.sigmoid(state.gauss_params.opacity)[
+            np.asarray(state.gauss_aux.alive)]
+        assert float(op.max()) <= 0.0101
+        # training continues after surgery
+        w = loss_weights(cfg, 10)
+        w['_in_densify_window'] = 1.0
+        state, metrics = step(state, camera, jnp.int32(10), w, 1e-3,
+                              active_sh_degree=0)
+        assert np.isfinite(float(metrics['loss/total_loss']))
+
+
+class TestVariants:
+    @pytest.mark.parametrize("ov", [
+        {"texture": "sh", "non_rigid": "identity", "rigid": "identity",
+         "pose_correction": "none"},
+        {"non_rigid": "mlp"},
+        {"rigid": "smpl_nn"},
+    ])
+    def test_variant_one_step(self, ov):
+        cfg = tiny_cfg(**ov)
+        scene = Scene(cfg, seed=0)
+        state = scene.init_state()
+        step = make_train_step(scene)
+        camera = scene.train_dataset[0]
+        w = loss_weights(cfg, 1)
+        w['_in_densify_window'] = 0.0
+        state, metrics = step(state, camera, jnp.int32(1), w, 1e-3,
+                              active_sh_degree=0)
+        assert np.isfinite(float(metrics['loss/total_loss']))
