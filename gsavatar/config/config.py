@@ -24,6 +24,8 @@ import yaml
 
 _INTERP = re.compile(r"^\$\{([^}]+)\}$")
 _INTERP_SUB = re.compile(r"\$\{([^}]+)\}")
+# YAML 1.1 reads "1e-4" as a string (needs "1.0e-4"); coerce those back
+_NUMERIC = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
 
 GROUPS = ("dataset", "pose_correction", "texture", "rigid", "non_rigid",
           "option")
@@ -122,6 +124,8 @@ def _interpolate(node: Any, root: dict, depth: int = 0):
         if m:  # whole-string ref keeps the referee's type
             return _interpolate(_resolve_path(root, m.group(1)), root,
                                 depth + 1)
+        if _NUMERIC.match(node):
+            return float(node)
         return _INTERP_SUB.sub(
             lambda mm: str(_interpolate(_resolve_path(root, mm.group(1)),
                                         root, depth + 1)), node)

@@ -17,4 +17,7 @@ def load_dataset(cfg, split='train'):
     if name == 'synthetic':
         from .synthetic import SyntheticDataset
         return SyntheticDataset(cfg, split=split)
+    if name == 'dummy_dataset':
+        from .dummy import DummyDataset
+        return DummyDataset(cfg, split=split)
     raise ValueError(f"unknown dataset: {name}")

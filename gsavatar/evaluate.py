@@ -86,3 +86,35 @@ def predict(cfg):
     compute_metrics = cfg.mode != 'predict'
     return evaluate(cfg, scene, state, iteration,
                     compute_metrics=compute_metrics)
+
+
+def main(argv=None):
+    """CLI parity with the reference's render.py: `python -m
+    gsavatar.evaluate mode=test dataset.test_mode=view ...`. Applies the
+    suffix/override logic of render.py:149-175 (wandb off, no preload for
+    predict sequences is handled by the loaders)."""
+    import sys
+    from gsavatar.config import load_config
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = load_config(overrides=overrides)
+    mode = cfg.get('mode', 'test')
+    if mode == 'test':
+        suffix = cfg.dataset.get('test_mode', 'view')
+        cfg['suffix'] = f'test-{suffix}'
+    elif mode == 'predict':
+        seq = int(cfg.dataset.get('predict_seq', 0))
+        if cfg.dataset.name == 'zjumocap':
+            names = {0: 'dance0', 1: 'dance1', 2: 'flipping', 3: 'canonical'}
+        else:
+            names = {0: 'rotation', 1: 'dance2'}
+        cfg['suffix'] = f'predict-{names.get(seq, str(seq))}'
+    if cfg.dataset.get('freeview', False):
+        cfg['suffix'] = str(cfg.get('suffix', '')) + '-freeview'
+    cfg['exp_dir'] = cfg.get('exp_dir') or os.path.join('exp', str(cfg.name))
+    results = predict(cfg)
+    print(results)
+    return results
+
+
+if __name__ == '__main__':
+    main()

@@ -20,7 +20,7 @@ def C(iteration: int, value):
     """Piecewise-constant schedule (train.py:31-47): scalars pass through,
     a list [v0, it1, v1, it2, v2, ...] yields vi once iteration >= iti.
     Host-side (the result feeds the jitted step as a scalar)."""
-    if isinstance(value, (int, float)):
+    if isinstance(value, (int, float, str)):
         return float(value)
     value = list(value)
     value_list = [0] + value
@@ -47,11 +47,18 @@ def mask_loss(opacity_img, gt_mask, kind: str):
     raise ValueError(kind)
 
 
+def _safe_norm(x, axis=-1):
+    """sqrt with an epsilon: exact duplicates (dead arena slots, fresh
+    clones) would otherwise backprop NaN through d sqrt(0), which poisons
+    the whole gradient even under a zero mask weight."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-20)
+
+
 def aiap_loss(x_can, x_obs, nn_ix, alive):
     """L1 between canonical and deformed neighbor distances
     (utils/loss_utils.py:87-102), masked to alive arena slots."""
-    d_can = jnp.linalg.norm(x_can[:, None, :] - x_can[nn_ix], axis=-1)
-    d_obs = jnp.linalg.norm(x_obs[:, None, :] - x_obs[nn_ix], axis=-1)
+    d_can = _safe_norm(x_can[:, None, :] - x_can[nn_ix])
+    d_obs = _safe_norm(x_obs[:, None, :] - x_obs[nn_ix])
     err = jnp.abs(d_can - d_obs)
     w = alive[:, None].astype(err.dtype)
     return jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[1], 1.0)

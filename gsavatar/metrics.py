@@ -1,0 +1,80 @@
+"""Evaluation metrics.
+
+Parity: utils/general_utils.py:221-312 of the reference — the ZJU-MoCap
+Evaluator (PSNR = -10 log10 MSE, scikit-image-style SSIM over a mask bbox,
+LPIPS-VGG) and the PeopleSnapshot PSEvaluator (torchmetrics-style
+PSNR/SSIM data_range=1 + LPIPS-Alex). LPIPS terms require the exported
+weight bundles (ops/lpips.py docstring) and report None when unavailable."""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gsavatar.ops import lpips as lpips_mod
+from gsavatar.ops.ssim import ssim as ssim_3dgs
+
+
+def psnr(img, gt, valid_mask=None):
+    value = (img - gt) ** 2
+    if valid_mask is not None:
+        value = value[valid_mask]
+    return float(-10.0 * jnp.log10(jnp.mean(value)))
+
+
+def _bbox_of_mask(mask: np.ndarray):
+    ys, xs = np.where(mask > 0)
+    if len(ys) == 0:
+        return 0, mask.shape[0], 0, mask.shape[1]
+    return ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+
+
+def ssim_masked(img, gt, valid_mask=None):
+    """SSIM over the mask bounding box (general_utils.py:253-273 crops with
+    cv2.boundingRect before scoring)."""
+    img = np.asarray(img)
+    gt = np.asarray(gt)
+    if valid_mask is not None:
+        y0, y1, x0, x1 = _bbox_of_mask(np.asarray(valid_mask))
+        img = img[y0:y1, x0:x1]
+        gt = gt[y0:y1, x0:x1]
+    return float(ssim_3dgs(jnp.asarray(img), jnp.asarray(gt)))
+
+
+class Evaluator:
+    """ZJU-MoCap metric bundle (general_utils.py:221-236)."""
+
+    def __call__(self, img, gt, valid_mask=None):
+        out = {'psnr': psnr(img, gt, valid_mask),
+               'ssim': ssim_masked(img, gt, valid_mask)}
+        if lpips_mod.available():
+            a, b = jnp.asarray(img), jnp.asarray(gt)
+            if valid_mask is not None:
+                y0, y1, x0, x1 = _bbox_of_mask(np.asarray(valid_mask))
+                a, b = a[y0:y1, x0:x1], b[y0:y1, x0:x1]
+            out['lpips'] = float(lpips_mod.lpips(a, b))
+        else:
+            out['lpips'] = None
+        return out
+
+
+class PSEvaluator(Evaluator):
+    """PeopleSnapshot metric bundle (general_utils.py:294-312). Same PSNR
+    formula at data_range=1; SSIM without mask cropping; LPIPS would use the
+    Alex backbone in the reference — we report the VGG variant when weights
+    exist (documented delta, affects absolute LPIPS values only)."""
+
+    def __call__(self, img, gt, valid_mask=None):
+        out = {'psnr': psnr(img, gt),
+               'ssim': float(ssim_3dgs(jnp.asarray(img), jnp.asarray(gt)))}
+        if lpips_mod.available():
+            out['lpips'] = float(lpips_mod.lpips(jnp.asarray(img),
+                                                 jnp.asarray(gt)))
+        else:
+            out['lpips'] = None
+        return out
+
+
+def get_evaluator(dataset_name: str):
+    return PSEvaluator() if dataset_name == 'people_snapshot' else Evaluator()

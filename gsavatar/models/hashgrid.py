@@ -67,10 +67,13 @@ class HashGrid(nn.Module):
                 c = p0 + off
                 if dense:
                     idx = (c[:, 0] * (res + 1) + c[:, 1]) * (res + 1) + c[:, 2]
+                    idx = jnp.remainder(idx, T)
                 else:
-                    idx = (c[:, 0] * _PRIMES[0]) ^ (c[:, 1] * _PRIMES[1]) \
-                        ^ (c[:, 2] * _PRIMES[2])
-                idx = jnp.remainder(idx, T)
+                    cu = c.astype(jnp.uint32)
+                    idx = (cu[:, 0] * jnp.uint32(_PRIMES[0])) \
+                        ^ (cu[:, 1] * jnp.uint32(_PRIMES[1])) \
+                        ^ (cu[:, 2] * jnp.uint32(_PRIMES[2]))
+                    idx = (idx % jnp.uint32(T)).astype(jnp.int32)
                 w = jnp.prod(jnp.where(off[None, :] == 1, frac, 1.0 - frac),
                              axis=-1)
                 feats = feats + w[:, None] * table[l, idx]

@@ -62,11 +62,15 @@ def _apply_deltas(gaussians: Gaussians, delta_xyz, delta_scale, delta_rot,
 
 
 def _reg(delta_xyz, delta_scale, delta_rot, alive):
-    """Mean over alive slots only (the reference has no dead slots)."""
+    """Mean over alive slots only (the reference has no dead slots).
+    The L2 norm uses an epsilon so its gradient is defined at exactly-zero
+    deltas (the delay gate multiplies deltas by 0 — a bare norm would
+    backprop NaN even under a zero loss weight)."""
     n = jnp.maximum(jnp.sum(alive), 1.0)
     m = alive
+    l2 = jnp.sqrt(jnp.sum(delta_xyz * delta_xyz, axis=1) + 1e-20)
     return {
-        'nr_xyz': jnp.sum(m * jnp.linalg.norm(delta_xyz, axis=1)) / n,
+        'nr_xyz': jnp.sum(m * l2) / n,
         'nr_scale': jnp.sum(m * jnp.sum(jnp.abs(delta_scale), axis=1)) / n,
         'nr_rot': jnp.sum(m * jnp.sum(jnp.abs(delta_rot), axis=1)) / n,
     }

@@ -27,7 +27,8 @@ def _view_dirs(gaussians: Gaussians, camera, cano_view_dir: bool,
     """Per-gaussian unit view directions, optionally canonicalized
     (texture.py:23-35). `view_noise_rot` is a (3,3) rotation or None."""
     dir_pp = gaussians.get_xyz - camera.camera_center[None, :]
-    if cano_view_dir:
+    # identity rigid deformer leaves no fwd transform: canonical == posed
+    if cano_view_dir and gaussians.fwd_transform is not None:
         R_bwd = jnp.swapaxes(gaussians.fwd_transform[:, :3, :3], 1, 2)
         dir_pp = (R_bwd @ dir_pp[..., None])[..., 0]
         if view_noise_rot is not None:

@@ -31,6 +31,11 @@ class RasterizeConfig:
     max_pairs: int = struct.field(pytree_node=False, default=2 ** 21)
     per_tile_capacity: int = struct.field(pytree_node=False, default=512)
     chunk: int = struct.field(pytree_node=False, default=64)
+    # 'pallas' = fused per-tile kernels (pallas_composite.py, TPU speed
+    # path, no per-tile capacity); 'xla' = dense-matrix scan (composite.py,
+    # reference path, runs anywhere); 'pallas_interpret' = pallas kernels in
+    # interpreter mode (CPU testing)
+    backend: str = struct.field(pytree_node=False, default='xla')
 
     @property
     def grid_x(self) -> int:
@@ -63,6 +68,9 @@ def rasterize(means3d, colors, opacities, cov3d, *, viewmatrix,
         config.width, config.height, active=active,
         means2d_offset=means2d_offset)
 
+    if config.backend.startswith('pallas'):
+        return _rasterize_pairs(proj, colors, opacities, background, config)
+
     assign = _tiling.build_tile_assignment(
         proj, config.grid_x, config.grid_y, config.max_pairs,
         config.per_tile_capacity)
@@ -76,3 +84,39 @@ def rasterize(means3d, colors, opacities, cov3d, *, viewmatrix,
         image=comp.image, alpha=comp.alpha, radii=proj.radii,
         n_pairs=assign.n_pairs, pair_overflow=assign.pair_overflow,
         tile_overflow=assign.tile_overflow)
+
+
+def _untile(x, grid_x, grid_y, width, height):
+    """(num_tiles, 16*16, ch) -> (height, width, ch)."""
+    ch = x.shape[-1]
+    x = x.reshape(grid_y, grid_x, TILE, TILE, ch)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(grid_y * TILE, grid_x * TILE, ch)[:height, :width]
+
+
+def _rasterize_pairs(proj, colors, opacities, background, config):
+    from . import pairs as _pairs
+    from . import pallas_composite as _pc
+
+    pa = _pairs.build_pairs(proj, colors, opacities, config.grid_x,
+                            config.grid_y, config.max_pairs)
+    pad = jnp.zeros((config.chunk, _pairs.PAIR_COLS), pa.pair_data.dtype)
+    pair_data = jnp.concatenate([pa.pair_data, pad], axis=0)
+
+    num_tiles = config.grid_x * config.grid_y
+    f = _pc.make_composite_pairs(
+        num_tiles, config.grid_x, chunk=config.chunk,
+        interpret=config.backend.endswith('interpret'))
+    raw = f(pair_data, pa.tile_start)                       # (T, 8, 256)
+
+    acc = _untile(raw[:, 0:3, :].transpose(0, 2, 1), config.grid_x,
+                  config.grid_y, config.width, config.height)
+    final_T = _untile(raw[:, 4:5, :].transpose(0, 2, 1), config.grid_x,
+                      config.grid_y, config.width, config.height)
+    img = acc + final_T * background[None, None, :]
+    alpha = _untile(raw[:, 3:4, :].transpose(0, 2, 1), config.grid_x,
+                    config.grid_y, config.width, config.height)[..., 0]
+    return RasterizeResult(
+        image=img, alpha=alpha, radii=proj.radii, n_pairs=pa.n_pairs,
+        pair_overflow=pa.pair_overflow,
+        tile_overflow=jnp.zeros((), jnp.int32))

@@ -252,3 +252,20 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
             scene.save_checkpoint(state, iteration, exp_dir)
 
     return scene, state, logger
+
+
+def main(argv=None):
+    """CLI parity with the reference: `python -m gsavatar.train
+    dataset=zjumocap_377_mono option=iter15k opt.iterations=100 ...`"""
+    import sys
+    from gsavatar.config import load_config
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = load_config(overrides=overrides)
+    cfg['exp_dir'] = cfg.get('exp_dir') or os.path.join('exp', str(cfg.name))
+    print(f"Optimizing {cfg.exp_dir}")
+    training(cfg)
+    print("\nTraining complete.")
+
+
+if __name__ == '__main__':
+    main()

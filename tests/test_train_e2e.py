@@ -31,11 +31,18 @@ def tiny_cfg(**kv):
 
 
 @pytest.fixture(scope="module")
-def scene_state():
+def scene_module():
     cfg = tiny_cfg()
     scene = Scene(cfg, seed=0)
     state = scene.init_state()
     return cfg, scene, state
+
+
+@pytest.fixture()
+def scene_state(scene_module):
+    cfg, scene, state = scene_module
+    # the train step donates its input state — hand each test a fresh copy
+    return cfg, scene, jax.tree.map(jnp.copy, state)
 
 
 class TestTrainStep:
