@@ -17,9 +17,19 @@ from . import base
 
 
 def load_image_mask(img_file: str, mask_file: str, K, dist, hw_out, hw_raw,
-                    white_bg: bool, lanczos: bool = False):
+                    white_bg: bool, lanczos: bool = False,
+                    use_native: bool = True):
     """Undistort -> resize (linear/lanczos image, nearest mask) -> zero/white
-    background outside mask -> [0,1] floats (zjumocap.py:304-328)."""
+    background outside mask -> [0,1] floats (zjumocap.py:304-328).
+
+    Dispatches to the native C++ loader (gsavatar/native, same OpenCV calls,
+    bit-identical — tests/test_native_loader.py) when built; this Python
+    body is the reference implementation and fallback."""
+    if use_native:
+        from gsavatar import native
+        if native.available():
+            return native.decode_frame(img_file, mask_file, K, dist, hw_out,
+                                       white_bg, lanczos)
     import cv2
     image = cv2.cvtColor(cv2.imread(img_file), cv2.COLOR_BGR2RGB)
     mask = cv2.imread(mask_file, cv2.IMREAD_GRAYSCALE)

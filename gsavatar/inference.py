@@ -51,11 +51,14 @@ class InferenceScene:
         h, w = (height or cfg.dataset.img_hw[0],
                 width or cfg.dataset.img_hw[1])
         r = cfg.get('rasterizer', None)
+        from gsavatar.ops.rasterizer import resolve_backend
         self.raster_config = RasterizeConfig(
             width=int(w), height=int(h),
             max_pairs=int(r.get('max_pairs', 2 ** 21)) if r else 2 ** 21,
             per_tile_capacity=int(r.get('per_tile_capacity', 512)) if r else 512,
-            chunk=int(r.get('chunk', 64)) if r else 64)
+            chunk=int(r.get('chunk', 64)) if r else 64,
+            backend=resolve_backend(
+                str(r.get('backend', 'auto')) if r else 'auto'))
         self.background = jnp.zeros(3)
         self.converter = None
         self.conv_params = None

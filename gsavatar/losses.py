@@ -78,5 +78,37 @@ def full_aiap_loss(gs_can, gs_obs, n_neighbors: int = 5):
     return loss_xyz, loss_cov
 
 
+def opacity_entropy_loss(opacity, alive):
+    """Binary-entropy opacity classification loss
+    (gaussian_model.py:165-170 of the reference, weight `lambda_opacity`
+    wired by configs/option/no_mask.yaml), masked to alive arena slots."""
+    eps = 1e-6
+    o = opacity.reshape(-1)
+    ent = -(o * jnp.log(o + eps) + (1 - o) * jnp.log(1 - o + eps))
+    w = alive.astype(ent.dtype)
+    return jnp.sum(ent * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def foreground_crop(render, gt, mask, crop_hw):
+    """Fixed-size crop of both images centered on the mask centroid.
+
+    The reference crops the exact foreground bounding box before LPIPS
+    (train.py:129-136) — a dynamic shape. Under jit we take a static
+    `crop_hw` window centered on the mask's center of mass, clamped to the
+    image bounds; empty masks degrade to the image center."""
+    h, w = render.shape[0], render.shape[1]
+    ch, cw = min(crop_hw[0], h), min(crop_hw[1], w)
+    total = jnp.maximum(jnp.sum(mask), 1e-6)
+    ys = jnp.arange(h, dtype=mask.dtype)
+    xs = jnp.arange(w, dtype=mask.dtype)
+    cy = jnp.sum(mask.sum(axis=1) * ys) / total
+    cx = jnp.sum(mask.sum(axis=0) * xs) / total
+    y0 = jnp.clip(jnp.round(cy).astype(jnp.int32) - ch // 2, 0, h - ch)
+    x0 = jnp.clip(jnp.round(cx).astype(jnp.int32) - cw // 2, 0, w - cw)
+    sl = lambda im: jax.lax.dynamic_slice(im, (y0, x0, 0),
+                                          (ch, cw, im.shape[2]))
+    return sl(render), sl(gt)
+
+
 def psnr(a, b):
     return -10.0 * jnp.log10(jnp.mean((a - b) ** 2))

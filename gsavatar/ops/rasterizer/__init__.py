@@ -1,1 +1,1 @@
-from .api import RasterizeConfig, rasterize  # noqa: F401
+from .api import RasterizeConfig, rasterize, resolve_backend  # noqa: F401

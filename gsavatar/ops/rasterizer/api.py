@@ -24,6 +24,15 @@ from . import tiling as _tiling
 from .project import TILE
 
 
+def resolve_backend(name: str = 'auto') -> str:
+    """'auto' -> fused pallas kernels when the default device is a TPU
+    (incl. the axon tunnel platform), XLA dense-scan path otherwise."""
+    if name != 'auto':
+        return name
+    import jax
+    return 'pallas' if jax.default_backend() in ('tpu', 'axon') else 'xla'
+
+
 @struct.dataclass
 class RasterizeConfig:
     width: int = struct.field(pytree_node=False, default=512)
@@ -100,8 +109,12 @@ def _rasterize_pairs(proj, colors, opacities, background, config):
 
     pa = _pairs.build_pairs(proj, colors, opacities, config.grid_x,
                             config.grid_y, config.max_pairs)
-    pad = jnp.zeros((config.chunk, _pairs.PAIR_COLS), pa.pair_data.dtype)
-    pair_data = jnp.concatenate([pa.pair_data, pad], axis=0)
+    # chunk rows of tail padding (the kernel's last DMA may overrun the
+    # final tile range) + lane padding to a full 128-lane tile (physically
+    # free: a (P, 12) f32 array is already tiled (1, 128) in HBM)
+    pair_data = jnp.pad(
+        pa.pair_data,
+        ((0, config.chunk), (0, _pc.PAIR_LANES - _pairs.PAIR_COLS)))
 
     num_tiles = config.grid_x * config.grid_y
     f = _pc.make_composite_pairs(

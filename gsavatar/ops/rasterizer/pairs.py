@@ -46,13 +46,18 @@ def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
     excl = offsets - counts
 
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
-    # method='sort' matters enormously on TPU: the default binary-search
-    # 'scan' does log(N) serialized gather sweeps over all slots (~85ms for
-    # 2^19 pairs on v5e); the sort-based method rides the fast lax.sort
-    g = jnp.searchsorted(offsets, slots, side='right',
-                         method='sort').astype(jnp.int32)
-    valid = slots < jnp.minimum(total, max_pairs)
-    g_safe = jnp.clip(g, 0, counts.shape[0] - 1)
+    # expand counts into slot->gaussian runs WITHOUT a sort/searchsorted:
+    # every gaussian with pairs writes its index at its run's first slot,
+    # then a log-depth cummax fills the runs. (searchsorted method='sort'
+    # costs a full (max_pairs + N) lax.sort — ~40% of forward time.)
+    n_gauss_i = counts.shape[0]
+    gidx = jnp.arange(n_gauss_i, dtype=jnp.int32)
+    write_pos = jnp.where(counts > 0, excl, max_pairs)  # drop empty runs
+    seg = jnp.full((max_pairs,), -1, jnp.int32)
+    seg = seg.at[write_pos].max(gidx, mode='drop')
+    g = jax.lax.associative_scan(jnp.maximum, seg)
+    valid = (slots < jnp.minimum(total, max_pairs)) & (g >= 0)
+    g_safe = jnp.clip(g, 0, n_gauss_i - 1)
 
     local = slots - excl[g_safe]
     x0 = proj.rect_min[g_safe, 0]
@@ -71,9 +76,12 @@ def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
     sorted_key, sorted_g = jax.lax.sort((key, g_payload), num_keys=1)
     sorted_tile = sorted_key >> DEPTH_BITS
 
-    tile_start = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
-        side='left', method='sort').astype(jnp.int32)
+    # per-tile range starts without a second sort: scatter-min each pair's
+    # slot index into its tile bin, then a reversed cummin assigns empty
+    # tiles the start of the next non-empty one (== searchsorted 'left')
+    first = jnp.full((num_tiles + 1,), max_pairs, jnp.int32)
+    first = first.at[sorted_tile].min(slots, mode='drop')
+    tile_start = jax.lax.associative_scan(jnp.minimum, first, reverse=True)
 
     # one fused gather of everything the compositor needs; dead pairs
     # (sentinel index) read row 0 but sit in the sentinel tile's range,

@@ -36,6 +36,28 @@ _MAX_ALPHA = 0.99
 P_PIX = TILE * TILE  # 256
 OUT_ROWS = 8         # [r, g, b, alpha, final_T, pad, pad, pad]
 
+# HBM pair rows are padded to a full 128-lane tile: a (P, 12) f32 array is
+# physically (P, 128) under the TPU's (1, 128) tiling anyway, and Mosaic
+# requires DMA slice shapes lane-aligned — so the padding is free in bytes
+# and buys legal chunk DMAs.
+PAIR_LANES = 128
+
+
+def _cumsum_rows(x, n_rows: int, interpret: bool = False):
+    """Inclusive prefix sum along axis 0 (rows) of a 2D (C, P) block via
+    log-step doubling — Pallas TPU has no cumsum lowering. The interpreter
+    has no working pltpu.roll (it hangs), so interpret mode keeps
+    jnp.cumsum."""
+    if interpret:
+        return jnp.cumsum(x, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < n_rows:
+        shifted = pltpu.roll(x, shift, axis=0)
+        x = x + jnp.where(rows >= shift, shifted, 0.0)
+        shift *= 2
+    return x
+
 
 def _pixel_coords(t, grid_x):
     """Pixel-center coordinates of tile t: (1, 256) x and y."""
@@ -66,7 +88,7 @@ def _chunk_terms(buf, px, py, row_valid):
 
 
 def _fwd_kernel(tile_start_ref, pair_hbm, out_ref, buf, sem, *, chunk,
-                grid_x):
+                grid_x, interpret=False):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     end = tile_start_ref[t + 1]
@@ -100,7 +122,7 @@ def _fwd_kernel(tile_start_ref, pair_hbm, out_ref, buf, sem, *, chunk,
         row_valid = (i * chunk + rows) < n
         alpha, skip, log1m = _chunk_terms(data, px, py, row_valid)
 
-        cum = carry + jnp.cumsum(log1m, axis=0)           # (C, 256)
+        cum = carry + _cumsum_rows(log1m, chunk, interpret)  # (C, 256)
         include = (cum >= _LOG_TERM) & (~skip)
         T_before = jnp.exp(cum - log1m)
         w = jnp.where(include, alpha * T_before, 0.0)     # (C, 256)
@@ -117,7 +139,13 @@ def _fwd_kernel(tile_start_ref, pair_hbm, out_ref, buf, sem, *, chunk,
     init = (jnp.int32(0), jnp.zeros((1, P_PIX), jnp.float32),
             jnp.zeros((1, P_PIX), jnp.float32),
             jnp.zeros((3, P_PIX), jnp.float32))
-    _, carry, frozen, acc = jax.lax.while_loop(cond, body, init)
+    i_end, carry, frozen, acc = jax.lax.while_loop(cond, body, init)
+
+    # early termination can leave the next chunk's prefetch DMA in flight;
+    # an un-drained semaphore at kernel end is a hard error on TPU
+    @pl.when(i_end * chunk < n)
+    def _():
+        load(i_end, i_end % 2).wait()
 
     final_T = jnp.exp(frozen)                             # (1, 256)
     # background blending happens OUTSIDE the kernel (XLA) so no constant
@@ -131,10 +159,11 @@ def _fwd_kernel(tile_start_ref, pair_hbm, out_ref, buf, sem, *, chunk,
 def composite_pairs_fwd(pair_data, tile_start, *, num_tiles: int,
                         grid_x: int, chunk: int = 64,
                         interpret: bool = False):
-    """pair_data (P + chunk, PAIR_COLS) (padded!), tile_start (T+1,).
+    """pair_data (P + chunk, PAIR_LANES) (padded!), tile_start (T+1,).
     Returns (T, OUT_ROWS, 256) raw tile outputs: rows 0-2 accumulated color
     WITHOUT background, row 3 alpha, row 4 final transmittance."""
-    kernel = functools.partial(_fwd_kernel, chunk=chunk, grid_x=grid_x)
+    kernel = functools.partial(_fwd_kernel, chunk=chunk, grid_x=grid_x,
+                               interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
@@ -143,7 +172,7 @@ def composite_pairs_fwd(pair_data, tile_start, *, num_tiles: int,
                                lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((2, chunk, PAIR_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ])
     return pl.pallas_call(
@@ -157,7 +186,7 @@ def composite_pairs_fwd(pair_data, tile_start, *, num_tiles: int,
 
 def _bwd_kernel(tile_start_ref, pair_hbm, ct_hbm, fwd_hbm, grad_hbm,
                 buf, ct_buf, fwd_buf, grad_buf, sem, ct_sem, ft_sem,
-                gr_sem, *, chunk, grid_x):
+                gr_sem, *, chunk, grid_x, interpret=False):
     """Backward per tile, walking FORWARD with the same DMA pattern as the
     forward kernel. Key identity: the suffix term of the alpha gradient is
     expressed through the forward output (a residual) instead of a
@@ -187,11 +216,11 @@ def _bwd_kernel(tile_start_ref, pair_hbm, ct_hbm, fwd_hbm, grad_hbm,
     def _():
         load(0, 0).start()
 
-    ct_rgb = ct_buf[0, 0:3, :]                             # (3, 256)
-    ct_alpha = ct_buf[0, 3:4, :]                           # (1, 256)
-    ct_finalT_img = ct_buf[0, 4:5, :]
-    acc_out = fwd_buf[0, 0:3, :]                           # (3, 256)
-    final_T = fwd_buf[0, 4:5, :]                           # (1, 256)
+    ct_rgb = ct_buf[0:3, :]                                # (3, 256)
+    ct_alpha = ct_buf[3:4, :]                              # (1, 256)
+    ct_finalT_img = ct_buf[4:5, :]
+    acc_out = fwd_buf[0:3, :]                              # (3, 256)
+    final_T = fwd_buf[4:5, :]                              # (1, 256)
 
     # dL/dT_end through the alpha image (alpha = 1 - T_end) and the final_T
     # output (which carries the XLA-side background-blend cotangent)
@@ -218,7 +247,7 @@ def _bwd_kernel(tile_start_ref, pair_hbm, ct_hbm, fwd_hbm, grad_hbm,
         row_valid = (i * chunk + rows) < n
         alpha, skip, log1m = _chunk_terms(data, px, py, row_valid)
 
-        cum = carry + jnp.cumsum(log1m, axis=0)
+        cum = carry + _cumsum_rows(log1m, chunk, interpret)
         include = (cum >= _LOG_TERM) & (~skip)
         T_before = jnp.exp(cum - log1m)
         w = jnp.where(include, alpha * T_before, 0.0)      # (C, 256)
@@ -231,15 +260,20 @@ def _bwd_kernel(tile_start_ref, pair_hbm, ct_hbm, fwd_hbm, grad_hbm,
             w, ct_rgb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # (C, 3)
 
-        # inclusive prefix of w_j c_j within + before this chunk
-        wc = w[:, None, :] * rgb[:, :, None]               # (C, 3, 256)
-        prefix_k = prefix[None] + jnp.cumsum(wc, axis=0)   # (C, 3, 256)
-        S_k = acc_out[None] - prefix_k                     # (C, 3, 256)
-
+        # inclusive prefix of w_j c_j within + before this chunk, one color
+        # channel at a time (keeps every cumsum on a clean 2D (C, 256)
+        # layout — a 3D (C, 3, 256) block would force lane reshapes)
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
-        term = (T_before[:, None, :] * rgb[:, :, None]
-                - S_k / one_m[:, None, :])
-        d_alpha_px = jnp.sum(ct_rgb[None] * term, axis=1)  # (C, 256)
+        d_alpha_px = jnp.zeros_like(w)
+        prefix_rows = []
+        for c in range(3):
+            wc_c = w * rgb[:, c:c + 1]                     # (C, 256)
+            pref_c = prefix[c:c + 1] + _cumsum_rows(wc_c, chunk, interpret)
+            S_c = acc_out[c:c + 1] - pref_c                # suffix sum
+            term_c = T_before * rgb[:, c:c + 1] - S_c / one_m
+            d_alpha_px = d_alpha_px + ct_rgb[c:c + 1] * term_c
+            prefix_rows.append(prefix[c:c + 1]
+                               + jnp.sum(wc_c, axis=0, keepdims=True))
         d_alpha_px = d_alpha_px + dL_dT_end * (-final_T / one_m)
         d_alpha_px = jnp.where(include, d_alpha_px, 0.0)
 
@@ -263,14 +297,14 @@ def _bwd_kernel(tile_start_ref, pair_hbm, ct_hbm, fwd_hbm, grad_hbm,
              sum_px(d_power_px * (-dx * dy)),
              sum_px(d_power_px * (-0.5 * dy * dy)),
              d_color, sum_px(d_opac_px),
-             jnp.zeros((chunk, PAIR_COLS - 9), jnp.float32)], axis=1)
+             jnp.zeros((chunk, PAIR_LANES - 9), jnp.float32)], axis=1)
         grad_buf[:, :] = grad_rows
         copy_out = pltpu.make_async_copy(
             grad_buf, grad_hbm.at[pl.ds(start + i * chunk, chunk), :],
             gr_sem)
         copy_out.start()
         copy_out.wait()
-        return i + 1, cum[-1:], prefix + jnp.sum(wc, axis=0)
+        return i + 1, cum[-1:], jnp.concatenate(prefix_rows, axis=0)
 
     init = (jnp.int32(0), jnp.zeros((1, P_PIX), jnp.float32),
             jnp.zeros((3, P_PIX), jnp.float32))
@@ -282,8 +316,9 @@ def composite_pairs_bwd(pair_data, tile_start, ct_tiles, fwd_tiles,
                         chunk: int = 64, interpret: bool = False):
     """ct_tiles (T, OUT_ROWS, 256) cotangents of the forward raw output;
     fwd_tiles (T, OUT_ROWS, 256) forward residual. Returns per-pair grads
-    (P + chunk, PAIR_COLS)."""
-    kernel = functools.partial(_bwd_kernel, chunk=chunk, grid_x=grid_x)
+    (P + chunk, PAIR_LANES)."""
+    kernel = functools.partial(_bwd_kernel, chunk=chunk, grid_x=grid_x,
+                               interpret=interpret)
     P = pair_data.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -293,10 +328,10 @@ def composite_pairs_bwd(pair_data, tile_start, ct_tiles, fwd_tiles,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, PAIR_COLS), jnp.float32),
-            pltpu.VMEM((1, OUT_ROWS, P_PIX), jnp.float32),
-            pltpu.VMEM((1, 1, P_PIX), jnp.float32),
-            pltpu.VMEM((chunk, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((2, chunk, PAIR_LANES), jnp.float32),
+            pltpu.VMEM((OUT_ROWS, P_PIX), jnp.float32),
+            pltpu.VMEM((OUT_ROWS, P_PIX), jnp.float32),
+            pltpu.VMEM((chunk, PAIR_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -305,7 +340,7 @@ def composite_pairs_bwd(pair_data, tile_start, ct_tiles, fwd_tiles,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P, PAIR_COLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, PAIR_LANES), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, pair_data, ct_tiles, fwd_tiles)

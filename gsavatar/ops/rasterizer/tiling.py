@@ -34,14 +34,18 @@ def build_tile_assignment(proj: Projection, grid_x: int, grid_y: int,
     total = offsets[-1]
     excl = offsets - counts                                   # exclusive
 
-    # slot p belongs to gaussian g = first index with offsets[g] > p
+    # slot p belongs to gaussian g = first index with offsets[g] > p;
+    # run expansion via scatter + cummax (see pairs.py — cheaper than any
+    # searchsorted variant at this query count)
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
-    # method='sort': see pairs.py — the default 'scan' method is ~50x
-    # slower on TPU at this query count
-    g = jnp.searchsorted(offsets, slots, side='right',
-                         method='sort').astype(jnp.int32)
-    valid = slots < jnp.minimum(total, max_pairs)
-    g_safe = jnp.clip(g, 0, counts.shape[0] - 1)
+    n_gauss_i = counts.shape[0]
+    gidx = jnp.arange(n_gauss_i, dtype=jnp.int32)
+    write_pos = jnp.where(counts > 0, excl, max_pairs)
+    seg = jnp.full((max_pairs,), -1, jnp.int32)
+    seg = seg.at[write_pos].max(gidx, mode='drop')
+    g = jax.lax.associative_scan(jnp.maximum, seg)
+    valid = (slots < jnp.minimum(total, max_pairs)) & (g >= 0)
+    g_safe = jnp.clip(g, 0, n_gauss_i - 1)
 
     local = slots - excl[g_safe]
     x0 = proj.rect_min[g_safe, 0]
@@ -57,10 +61,12 @@ def build_tile_assignment(proj: Projection, grid_x: int, grid_y: int,
     sorted_tile, _, sorted_g = jax.lax.sort(
         (tile_id, depth, g_safe), num_keys=2)
 
-    # per-tile segment starts and ranks
-    tile_start = jnp.searchsorted(sorted_tile,
-                                  jnp.arange(num_tiles, dtype=jnp.int32),
-                                  side='left', method='sort').astype(jnp.int32)
+    # per-tile segment starts via scatter-min + reversed cummin (see
+    # pairs.py)
+    first = jnp.full((num_tiles + 1,), max_pairs, jnp.int32)
+    first = first.at[jnp.clip(sorted_tile, 0, num_tiles)].min(slots)
+    tile_start = jax.lax.associative_scan(jnp.minimum, first,
+                                          reverse=True)[:num_tiles]
     rank = slots - tile_start[jnp.clip(sorted_tile, 0, num_tiles - 1)]
     in_tile = sorted_tile < num_tiles
     keep = in_tile & (rank < per_tile_capacity)

@@ -32,8 +32,16 @@ from gsavatar.scene import Scene, TrainState
 
 
 def stack_cameras(cameras):
-    """Stack a list of Camera pytrees into one batched pytree (static fields
-    must agree)."""
+    """Stack a list of Camera pytrees into one batched pytree. Static
+    (non-pytree) label fields — frame_id, image_name, cam_id — differ per
+    frame and would break tree_map's treedef equality, so they are unified
+    to the first camera's values; the traced per-frame identities the model
+    actually consumes (latent_idx, pose_idx, in_frame_dict) are leaves and
+    stack normally."""
+    ref = cameras[0]
+    cameras = [c.replace(frame_id=ref.frame_id, cam_id=ref.cam_id,
+                         image_name=ref.image_name, K=ref.K)
+               for c in cameras]
     return jax.tree.map(lambda *xs: np.stack(xs), *cameras)
 
 

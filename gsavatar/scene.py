@@ -120,11 +120,13 @@ class Scene:
 
         h, w = cfg.dataset.img_hw
         r = cfg.get('rasterizer', Config({}))
+        from gsavatar.ops.rasterizer import resolve_backend
         self.raster_config = RasterizeConfig(
             width=int(w), height=int(h),
             max_pairs=int(r.get('max_pairs', 2 ** 21)),
             per_tile_capacity=int(r.get('per_tile_capacity', 512)),
-            chunk=int(r.get('chunk', 64)))
+            chunk=int(r.get('chunk', 64)),
+            backend=resolve_backend(str(r.get('backend', 'auto'))))
 
         self.background = jnp.asarray(
             [1.0, 1.0, 1.0] if cfg.dataset.white_background else [0.0, 0.0, 0.0])

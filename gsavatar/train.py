@@ -56,6 +56,19 @@ def make_train_step(scene: Scene):
     use_sh = scene.use_sh
     max_deg = scene.max_sh_degree
 
+    # perceptual loss: static gate — requires exported VGG-LPIPS weights
+    # (ops/lpips.py docstring) AND a non-zero lambda somewhere in the
+    # schedule; when off, the VGG graph is never built.
+    from gsavatar.ops import lpips as lpips_mod
+    lam_p = scene.cfg.opt.get('lambda_perceptual', 0.0)
+    if isinstance(lam_p, (list, tuple)):
+        # C() schedule [v0, it1, v1, ...]: values sit at even indices
+        schedule_on = any(float(v) > 0 for v in list(lam_p)[::2])
+    else:
+        schedule_on = float(lam_p) > 0
+    use_perceptual = schedule_on and lpips_mod.available()
+    crop_hw = tuple(scene.cfg.opt.get('perceptual_crop_hw', (256, 256)))
+
     @functools.partial(jax.jit, static_argnames=('active_sh_degree',),
                        donate_argnums=(0,))
     def train_step(state: TrainState, camera, iteration, weights, xyz_lr,
@@ -83,6 +96,9 @@ def make_train_step(scene: Scene):
                 method=converter.skinning_loss)
 
             loss_ax, loss_ac = L.full_aiap_loss(gview, pkg.deformed_gaussians)
+            loss_opacity = L.opacity_entropy_loss(
+                pkg.deformed_gaussians.get_opacity,
+                pkg.deformed_gaussians.alive)
 
             w = weights
             loss = (w['lambda_l1'] * loss_l1
@@ -90,7 +106,15 @@ def make_train_step(scene: Scene):
                     + w['lambda_mask'] * loss_mask
                     + w['lambda_skinning'] * loss_skinning
                     + w['lambda_aiap_xyz'] * loss_ax
-                    + w['lambda_aiap_cov'] * loss_ac)
+                    + w['lambda_aiap_cov'] * loss_ac
+                    + w['lambda_opacity'] * loss_opacity)
+            if use_perceptual:
+                fg_r, fg_gt = L.foreground_crop(pkg.render, gt, gt_mask,
+                                                crop_hw)
+                loss_perceptual = lpips_mod.lpips(fg_r, fg_gt)
+                loss = loss + w['lambda_perceptual'] * loss_perceptual
+            else:
+                loss_perceptual = jnp.float32(0.0)
             for name, value in pkg.loss_reg.items():
                 loss = loss + w.get(f'lambda_{name}', 0.0) * value
 
@@ -99,6 +123,8 @@ def make_train_step(scene: Scene):
                 'loss/mask_loss': loss_mask,
                 'loss/loss_skinning': loss_skinning,
                 'loss/xyz_aiap_loss': loss_ax, 'loss/cov_aiap_loss': loss_ac,
+                'loss/opacity_loss': loss_opacity,
+                'loss/perceptual_loss': loss_perceptual,
                 'loss/total_loss': loss,
                 'psnr': L.psnr(pkg.render, gt),
                 'overflow/pairs': pkg.pair_overflow,

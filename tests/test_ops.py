@@ -142,3 +142,44 @@ class TestPly:
                                    atol=1e-6)
         np.testing.assert_allclose(back['rotation'],
                                    np.asarray(params.rotation)[:20], atol=1e-6)
+
+
+class TestLossTerms:
+    def test_opacity_entropy_matches_reference_formula(self):
+        from gsavatar import losses as L
+        rng = np.random.default_rng(3)
+        o = rng.uniform(0.01, 0.99, (50, 1)).astype(np.float32)
+        alive = np.ones(50, bool)
+        got = float(L.opacity_entropy_loss(jnp.asarray(o), jnp.asarray(alive)))
+        eps = 1e-6  # gaussian_model.py:165-170
+        want = float(np.mean(-(o * np.log(o + eps)
+                               + (1 - o) * np.log(1 - o + eps))))
+        assert abs(got - want) < 1e-4
+
+    def test_opacity_entropy_masks_dead_slots(self):
+        from gsavatar import losses as L
+        o = np.full((10, 1), 0.5, np.float32)
+        alive = np.zeros(10, bool)
+        alive[:4] = True
+        got = float(L.opacity_entropy_loss(jnp.asarray(o), jnp.asarray(alive)))
+        assert abs(got - float(np.log(2) + 2e-6 * 0)) < 1e-4
+
+    def test_foreground_crop_centers_on_mask(self):
+        from gsavatar import losses as L
+        img = jnp.asarray(np.arange(64 * 64 * 3, dtype=np.float32)
+                          .reshape(64, 64, 3))
+        mask = np.zeros((64, 64), np.float32)
+        mask[40:50, 10:20] = 1.0  # centroid (44.5, 14.5)
+        r, g = L.foreground_crop(img, img, jnp.asarray(mask), (16, 16))
+        assert r.shape == (16, 16, 3)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g))
+        # crop window should cover the mask centroid
+        np.testing.assert_allclose(np.asarray(r)[0, 0, 0],
+                                   np.asarray(img)[44 - 8 + 1 - 1, 14 - 8 + 1 - 1, 0])
+
+    def test_foreground_crop_empty_mask_degrades_to_center(self):
+        from gsavatar import losses as L
+        img = jnp.zeros((32, 32, 3))
+        mask = jnp.zeros((32, 32))
+        r, g = L.foreground_crop(img, img, mask, (16, 16))
+        assert r.shape == (16, 16, 3)

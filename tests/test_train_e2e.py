@@ -80,7 +80,12 @@ class TestTrainStep:
         state, info = densify_step(state, jax.random.PRNGKey(0), False)
         n1 = int(info['n_alive'])
         assert n1 > 0
-        assert int(info['n_dropped']) == 0
+        # clones/splits are dropped ONLY under capacity pressure (this tiny
+        # 1024-slot arena fills); drops => the arena was full pre-prune
+        capacity = int(state.gauss_aux.alive.shape[0])
+        if int(info['n_dropped']) > 0:
+            assert n1 + int(info['n_pruned']) == capacity
+        assert n1 <= capacity
         # stats were reset
         assert float(jnp.sum(state.gauss_aux.denom)) == 0.0
         state = opacity_reset(state)
