@@ -12,4 +12,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start, which
+# takes precedence over the JAX_PLATFORMS env var above — so tests would
+# silently run through the single-chip TPU tunnel (and deadlock on its
+# process lock). Override the *config*, not just the env, before any backend
+# is initialized.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

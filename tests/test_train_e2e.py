@@ -22,7 +22,10 @@ def tiny_cfg(**kv):
         "model.gaussian.capacity=1024",
         "model.gaussian.delay=0",
         "rasterizer.max_pairs=65536",
-        "rasterizer.per_tile_capacity=128",
+        # 64x64 -> 16 tiles and the synthetic avatar clusters most points
+        # into the few central tiles; capacity == arena size makes the dense
+        # path structurally lossless so the overflow==0 asserts hold
+        "rasterizer.per_tile_capacity=1024",
         "rasterizer.chunk=32",
         "opt.skinning_pool_size=2048",
         "opt.n_reg_pts=128",
