@@ -20,6 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: the large train-step graph dominates bench
+# wall-clock on first run; cached compiles make reruns near-instant.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 BASELINE_PIX_PER_S = 15000 / (30 * 60) * 540 * 540  # ~2.43 Mpix/s
 
 

@@ -154,28 +154,39 @@ class Scene:
 
     # ------------------------------------------------------------------
     def init_state(self) -> TrainState:
+        """Build the full TrainState in ONE jitted computation.
+
+        Running flax `Module.init` + optax init eagerly dispatches thousands
+        of tiny ops; on a tunneled TPU backend each pays a host round-trip
+        (measured ~4 min for the full avatar stack). One jit = one compile +
+        one execution."""
         cfg = self.cfg
         points, colors = self.train_dataset.readPointCloud()
-        gauss_params, gauss_aux = G.create_from_pcd(
-            points, colors, self.capacity, self.use_sh, self.max_sh_degree,
-            self.feature_dim)
-        gauss_adam = arena_optim.init_adam(gauss_params)
-
-        rng = jax.random.PRNGKey(self._seed)
-        rng, init_key = jax.random.split(rng)
         cam0 = self.train_dataset[0]
-        gview = G.make_view(gauss_params, gauss_aux,
-                            active_sh_degree=0,
-                            max_sh_degree=self.max_sh_degree,
-                            use_sh=self.use_sh)
-        conv_params = self.converter.init(init_key, gview, cam0, 0)
-
         self.conv_tx = converter_optimizer(cfg, int(cfg.opt.iterations))
-        conv_opt = self.conv_tx.init(conv_params)
+        seed = self._seed
 
-        return TrainState(gauss_params=gauss_params, gauss_aux=gauss_aux,
-                          gauss_adam=gauss_adam, conv_params=conv_params,
-                          conv_opt=conv_opt, rng=rng)
+        @jax.jit
+        def _init(points, colors, cam0):
+            gauss_params, gauss_aux = G.create_from_pcd(
+                points, colors, self.capacity, self.use_sh,
+                self.max_sh_degree, self.feature_dim)
+            gauss_adam = arena_optim.init_adam(gauss_params)
+
+            rng = jax.random.PRNGKey(seed)
+            rng, init_key = jax.random.split(rng)
+            gview = G.make_view(gauss_params, gauss_aux,
+                                active_sh_degree=0,
+                                max_sh_degree=self.max_sh_degree,
+                                use_sh=self.use_sh)
+            conv_params = self.converter.init(init_key, gview, cam0, 0)
+            conv_opt = self.conv_tx.init(conv_params)
+            return TrainState(gauss_params=gauss_params, gauss_aux=gauss_aux,
+                              gauss_adam=gauss_adam, conv_params=conv_params,
+                              conv_opt=conv_opt, rng=rng)
+
+        return _init(jnp.asarray(points, jnp.float32),
+                     jnp.asarray(colors, jnp.float32), cam0)
 
     def gauss_lrs(self, iteration):
         """Per-field LRs for the arena Adam (gaussian_model.py:206-216)."""
