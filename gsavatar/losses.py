@@ -64,15 +64,17 @@ def aiap_loss(x_can, x_obs, nn_ix, alive):
     return jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[1], 1.0)
 
 
-def full_aiap_loss(gs_can, gs_obs, n_neighbors: int = 5):
+def full_aiap_loss(gs_can, gs_obs, n_neighbors: int = 5, nn_ix=None):
     """KNN on canonical positions shared by both terms
-    (utils/loss_utils.py:69-85)."""
+    (utils/loss_utils.py:69-85). Pass cached `nn_ix` (N, k) to skip the
+    per-step KNN (refreshed on the densify cadence — see GaussianAux)."""
     xyz_can = gs_can.get_xyz
     xyz_obs = gs_obs.get_xyz
     cov_can = gs_can.get_covariance()
     cov_obs = gs_obs.get_covariance()
     alive = gs_can.alive
-    nn_ix = knn.knn_self(xyz_can, n_neighbors, mask=alive)
+    if nn_ix is None:
+        nn_ix = knn.knn_self(xyz_can, n_neighbors, mask=alive)
     loss_xyz = aiap_loss(xyz_can, xyz_obs, nn_ix, alive)
     loss_cov = aiap_loss(cov_can, cov_obs, nn_ix, alive)
     return loss_xyz, loss_cov

@@ -11,6 +11,7 @@ and the input positions. The gather of 8 corners per level per point is an
 XLA gather — fine on TPU for the ~50k-point workloads here."""
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
@@ -46,9 +47,8 @@ class HashGrid(nn.Module):
         F = self.n_features_per_level
         table = self.param(
             'table',
-            lambda key, shape: jnp.asarray(
-                np.random.default_rng(0).uniform(-1e-4, 1e-4, shape),
-                jnp.float32),
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, -1e-4, 1e-4),
             (self.n_levels, T, F))
 
         x = (x_sym + 1.0) * 0.5  # [-1,1] -> [0,1] (network_utils.py:342)

@@ -56,9 +56,16 @@ def knn_self(x, k: int, chunk: int = 1024, mask=None):
     if mask is not None:
         # push dead slots far away so they are never neighbors
         pts = jnp.where(mask[:, None], x, 1e6)
-    _, idx = _chunked_topk_neg_dist(pts, pts, k + 1, chunk)
-    # drop self-match (first column after sorting by distance)
-    return idx[:, 1:k + 1]
+    kq = min(k + 1, pts.shape[0])  # degenerate tiny point sets
+    _, idx = _chunked_topk_neg_dist(pts, pts, kq, chunk)
+    # drop self-match (first column after sorting by distance); pad by
+    # repeating the last neighbor when fewer than k others exist
+    idx = idx[:, 1:kq]
+    if idx.shape[1] < k:
+        pad = jnp.repeat(idx[:, -1:], k - idx.shape[1], axis=1) \
+            if idx.shape[1] else jnp.zeros((idx.shape[0], k), idx.dtype)
+        idx = jnp.concatenate([idx, pad], axis=1) if idx.shape[1] else pad
+    return idx
 
 
 def mean_dist3(points, chunk: int = 1024, mask=None):

@@ -7,12 +7,19 @@ relu{1_2,2_2,3_3,4_3,5_3}, learned 1x1 "lin" weights, spatial mean, layer
 sum; inputs scaled from [0,1] to [-1,1] (normalize=True) then shifted/scaled
 by the ImageNet constants.
 
-This image has no torchvision/lpips and no network egress, so pretrained
-weights cannot be fetched. `load_weights` reads an .npz bundle (exported from
-the torch lpips checkpoint with `export_weights_from_torch`) when present at
-GSAVATAR_LPIPS_WEIGHTS or weights/lpips_vgg.npz; otherwise `available()` is
-False and callers (train loss, evaluator) skip the perceptual term with a
-logged notice — the reference cannot run without its weights either."""
+Weight sources, in priority order:
+  1. An exported .npz bundle (from the torch lpips checkpoint via
+     `export_weights_from_torch`) at GSAVATAR_LPIPS_WEIGHTS or
+     weights/lpips_vgg.npz — bit-parity with the reference's metric.
+  2. A deterministic randomly-initialized VGG (`random_weights(seed)`):
+     He-init convs, uniform 1/C lin weights. This image has no
+     torchvision/lpips weights and no network egress, so this fallback keeps
+     the perceptual loss LIVE by default. Random-feature VGG is a known
+     reasonable perceptual distance (structurally identical metric, different
+     filters); absolute LPIPS values are NOT comparable to the reference's —
+     a documented delta (COMPONENTS.md). Callers can query `weights_kind()`
+     to report which source is active, or set GSAVATAR_LPIPS_FALLBACK=0 to
+     disable the fallback (then `available()` is False without a bundle)."""
 from __future__ import annotations
 
 import functools
@@ -42,8 +49,52 @@ def _load_weights_cached(path_key: str):
     return None
 
 
+@functools.lru_cache()
+def random_weights(seed: int = 0):
+    """Deterministic random VGG16 + LPIPS-lin weights (fallback source #2).
+    He-normal convs; lin weights uniform 1/C (a plain per-layer mean)."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    i, in_ch = 0, 3
+    for ch, n in _BLOCKS:
+        for _ in range(n):
+            fan_in = in_ch * 9
+            out[f'conv{i}_w'] = jnp.asarray(
+                rng.normal(0.0, np.sqrt(2.0 / fan_in),
+                           (ch, in_ch, 3, 3)).astype(np.float32))
+            out[f'conv{i}_b'] = jnp.zeros((ch,), jnp.float32)
+            in_ch = ch
+            i += 1
+    for li, (ch, _) in enumerate(_BLOCKS):
+        out[f'lin{li}_w'] = jnp.full((1, ch, 1, 1), 1.0 / ch, jnp.float32)
+    return out
+
+
+def _fallback_enabled() -> bool:
+    return os.environ.get('GSAVATAR_LPIPS_FALLBACK', '1') != '0'
+
+
+def get_weights(path: Optional[str] = None):
+    """Best-available weights: exported bundle else random fallback else
+    None."""
+    w = _load_weights_cached(path or '')
+    if w is not None:
+        return w
+    if _fallback_enabled():
+        return random_weights()
+    return None
+
+
+def weights_kind(path: Optional[str] = None) -> Optional[str]:
+    if _load_weights_cached(path or '') is not None:
+        return 'exported'
+    if _fallback_enabled():
+        return 'random'
+    return None
+
+
 def available(path: Optional[str] = None) -> bool:
-    return _load_weights_cached(path or '') is not None
+    return get_weights(path) is not None
 
 
 def _conv(x, w, b):
@@ -71,7 +122,7 @@ def _vgg_features(x, wts):
 
 def lpips(img1, img2, weights=None, normalize: bool = True):
     """img (H, W, 3) in [0,1] (normalize=True) or [-1,1]. Returns scalar."""
-    wts = weights or _load_weights_cached('')
+    wts = weights or get_weights()
     if wts is None:
         raise RuntimeError("LPIPS weights not available "
                            "(see gsavatar/ops/lpips.py docstring)")

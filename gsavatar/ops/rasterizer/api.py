@@ -84,8 +84,14 @@ def rasterize(means3d, colors, opacities, cov3d, *, viewmatrix,
         proj, config.grid_x, config.grid_y, config.max_pairs,
         config.per_tile_capacity)
 
+    # under a sharding scope (parallel/context.py) the dense tile matrix is
+    # laid out over `model`: each shard composites its own tile rows; XLA
+    # all-gathers the (model-sharded) projected splat arrays to tile owners
+    from gsavatar.parallel.context import hint
+    tile_gauss_idx = hint(assign.tile_gauss_idx, 'model')
+
     comp = _composite.composite(
-        assign.tile_gauss_idx, proj.means2d, proj.conics, colors, opacities,
+        tile_gauss_idx, proj.means2d, proj.conics, colors, opacities,
         background, config.grid_x, config.grid_y, config.width, config.height,
         chunk=config.chunk)
 

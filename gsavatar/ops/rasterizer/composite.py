@@ -95,11 +95,13 @@ def composite(tile_gauss_idx, means2d, conics, colors, opacities,
                                  log_T_frozen)
         return (cum[:, -1, :], log_T_frozen, color_acc), None
 
-    init = (jnp.zeros((num_tiles, P), jnp.float32),
-            jnp.zeros((num_tiles, P), jnp.float32),
-            jnp.zeros((num_tiles, P, 3), jnp.float32))
+    from gsavatar.parallel.context import hint
+    init = (hint(jnp.zeros((num_tiles, P), jnp.float32), 'model'),
+            hint(jnp.zeros((num_tiles, P), jnp.float32), 'model'),
+            hint(jnp.zeros((num_tiles, P, 3), jnp.float32), 'model'))
     idx_chunks = tile_gauss_idx.reshape(num_tiles, K // chunk, chunk) \
                                .transpose(1, 0, 2)
+    idx_chunks = hint(idx_chunks, None, 'model')
     (cum_log_T, log_T_frozen, color_acc), _ = jax.lax.scan(
         step, init, idx_chunks)
 

@@ -25,6 +25,38 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+_DIST_INITIALIZED = False
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None, local_device_ids=None):
+    """Multi-host runtime init (jax.distributed). Call once per process
+    before building a mesh; afterwards `jax.devices()` is the GLOBAL device
+    set and `make_mesh` lays ('data','model') across hosts — put `data`
+    outermost so the frame-parallel gradient psum rides DCN while the
+    gaussian/tile `model` collectives stay on ICI within a slice.
+
+    Arguments default to the standard env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID) / TPU metadata autodetection, exactly
+    like jax.distributed.initialize. Idempotent; a no-op for single-process
+    runs with no coordinator configured."""
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return False
+    import os
+    have_cfg = (coordinator_address or num_processes
+                or os.environ.get('JAX_COORDINATOR_ADDRESS')
+                or os.environ.get('COORDINATOR_ADDRESS'))
+    if not have_cfg:
+        return False  # single-process: nothing to wire
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id,
+        local_device_ids=local_device_ids)
+    _DIST_INITIALIZED = True
+    return True
+
+
 def factorize(n: int) -> tuple:
     """Split n devices into (data, model) as square as possible, data-major."""
     best = (n, 1)

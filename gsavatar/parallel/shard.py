@@ -2,17 +2,26 @@
 
 Builds a pjit-ted batched train step over a ('data', 'model') mesh:
 
-  * the camera batch (stacked pytree) is sharded over `data`;
+  * the camera batch (stacked pytree) is sharded over `data`; the per-camera
+    loss is the SAME assembly as the single-chip step (train.make_loss_fn),
+    so multi-chip training carries every term — perceptual, opacity entropy,
+    regularizers — and the densification statistics;
   * parameters and optimizer state are replicated; gradient reduction over
     `data` is the psum XLA inserts from the sharded-batch mean;
-  * inside each data shard, sharding_constraints lay the Gaussian arena over
-    `model` for the geometry/deformation stages and the tile grid over
-    `model` for compositing — XLA SPMD places the all-gather of projected
-    splats between the two layouts (the "regroup to tile owners" exchange);
-  * densification stats ride along summed over the batch.
+  * inside each data shard, sharding hints (parallel/context.py) lay the
+    Gaussian arena over `model` for the geometry/deformation stages and the
+    dense tile matrix over `model` for compositing (ops/rasterizer/api.py,
+    composite.py) — XLA SPMD places the all-gather of projected splats
+    between the two layouts (the "regroup to tile owners" exchange);
+  * densification stats: per-camera screen-space gradients are recovered
+    from the batch-mean loss by scaling with B, then reduced over the batch
+    exactly as B sequential reference iterations would (sum of grad norms,
+    visibility-count denom, max radii).
 
-This is the `dryrun_multichip` path and the scale-out template; on one chip
-it degenerates to the single-device step."""
+Multi-host: call `initialize_distributed()` (parallel/mesh.py) before
+building the mesh; jax.distributed wires the hosts and `jax.devices()`
+returns the global device set. This is the `dryrun_multichip` path and the
+scale-out template; on one chip it degenerates to the single-device step."""
 from __future__ import annotations
 
 import functools
@@ -23,11 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gsavatar import losses as L
+from gsavatar.core import densify as densify_mod
 from gsavatar.core import gaussians as G
 from gsavatar.core import optim as arena_optim
-from gsavatar.ops.ssim import ssim
-from gsavatar.renderer import render
+from gsavatar.parallel.context import hint, sharding_scope
 from gsavatar.scene import Scene, TrainState
 
 
@@ -46,91 +54,94 @@ def stack_cameras(cameras):
 
 
 def make_sharded_train_step(scene: Scene, mesh: Mesh):
-    converter = scene.converter
-    raster_cfg = scene.raster_config
-    background = scene.background
-    mask_kind = scene.cfg.opt.get('mask_loss_type', 'l1')
+    """Must be created AND first-called inside `sharding_scope(mesh)` so the
+    rasterizer's tile-sharding hints are traced active."""
+    from gsavatar.train import make_loss_fn
+    loss_core = make_loss_fn(scene)
     gauss_delay = int(scene.cfg.model.gaussian.get('delay', 0))
-    pool_pts = scene.skinning_pool_pts
-    pool_w = scene.skinning_pool_w
-    n_reg = scene.n_reg_pts
-    use_sh = scene.use_sh
-    max_deg = scene.max_sh_degree
 
     repl = NamedSharding(mesh, P())
     batch_sharding = NamedSharding(mesh, P('data'))
 
-    def with_model_sharding(tree, spec):
-        return jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, spec)) if hasattr(x, 'ndim')
-            and x.ndim >= 1 else x, tree)
-
-    def per_camera_loss(conv_params, gauss_params, aux, camera, iteration,
-                        weights, rng, active_sh_degree):
-        gview = G.make_view(gauss_params, aux,
-                            active_sh_degree=active_sh_degree,
-                            max_sh_degree=max_deg, use_sh=use_sh)
-        # geometry stages: arena rows laid out over `model`
-        gview = gview.replace(params=with_model_sharding(
-            gview.params, P('model')))
-        means2d_offset = jnp.zeros((gauss_params.xyz.shape[0], 2))
-        pkg = render(converter, conv_params, gview, camera, iteration,
-                     raster_cfg, background, train=True, rng=rng,
-                     means2d_offset=means2d_offset)
-        gt = camera.image
-        loss = weights['lambda_l1'] * L.l1_loss(pkg.render, gt)
-        loss += weights['lambda_dssim'] * (1.0 - ssim(pkg.render, gt))
-        loss += weights['lambda_mask'] * L.mask_loss(
-            pkg.opacity_render, camera.mask, mask_kind)
-        k_skin = jax.random.fold_in(rng, 1)
-        sel = jax.random.randint(k_skin, (n_reg,), 0, pool_pts.shape[0])
-        loss += weights['lambda_skinning'] * converter.apply(
-            conv_params, pool_pts[sel], pool_w[sel],
-            method=converter.skinning_loss)
-        lax_, lac = L.full_aiap_loss(gview, pkg.deformed_gaussians)
-        loss += weights['lambda_aiap_xyz'] * lax_
-        loss += weights['lambda_aiap_cov'] * lac
-        for name, value in pkg.loss_reg.items():
-            loss = loss + weights.get(f'lambda_{name}', 0.0) * value
-        return loss, pkg.radii
-
-    @functools.partial(jax.jit, static_argnames=('active_sh_degree',),
+    @functools.partial(jax.jit,
+                       static_argnames=('active_sh_degree', 'bucket'),
                        donate_argnums=(0,))
     def train_step(state: TrainState, cameras, iteration, weights, xyz_lr,
-                   active_sh_degree: int = 0):
+                   active_sh_degree: int = 0, bucket: int = 0):
+        if not bucket:
+            bucket = int(state.gauss_params.xyz.shape[0])
         rng, step_key = jax.random.split(state.rng)
         B = cameras.image.shape[0]
         keys = jax.random.split(step_key, B)
 
-        def loss_fn(conv_params, gauss_params):
-            def one(camera, key):
-                return per_camera_loss(conv_params, gauss_params,
-                                       state.gauss_aux, camera, iteration,
-                                       weights, key, active_sh_degree)
-            losses, radii = jax.vmap(one)(cameras, keys)
-            return jnp.mean(losses), radii
+        sl = lambda tree: jax.tree.map(lambda x: x[:bucket], tree)
+        params_b = sl(state.gauss_params)
+        alive_b = state.gauss_aux.alive[:bucket]
+        nn_ix_b = state.gauss_aux.nn_ix[:bucket]
 
-        (loss, radii), (g_conv, g_gauss) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(
-                state.conv_params, state.gauss_params)
+        def loss_fn(conv_params, gauss_params, means2d_offsets):
+            # arena rows over `model` for the geometry stages; the batch of
+            # camera pytrees is `data`-sharded so the vmap splits over data
+            gp = jax.tree.map(lambda x: hint(x, 'model'), gauss_params)
 
+            def one(camera, key, m2d):
+                k_noise, k_skin = jax.random.split(key)
+                return loss_core(conv_params, gp, alive_b, nn_ix_b, m2d,
+                                 camera, iteration, weights, k_noise, k_skin,
+                                 active_sh_degree)
+
+            (losses, (metrics, radii)) = jax.vmap(one)(
+                cameras, keys, means2d_offsets)
+            mean_metrics = jax.tree.map(jnp.mean, metrics)
+            return jnp.mean(losses), (mean_metrics, radii)
+
+        means2d_zero = jnp.zeros((B, bucket, 2))
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+        (loss, (metrics, radii)), (g_conv, g_gauss, g_means2d) = grad_fn(
+            state.conv_params, params_b, means2d_zero)
+
+        # converter optimizer (same transform chain as single-chip)
         updates, conv_opt = scene.conv_tx.update(
             g_conv, state.conv_opt, state.conv_params)
         conv_params = jax.tree.map(lambda p, u: p + u, state.conv_params,
                                    updates)
 
+        # arena adam over the bucket prefix
         lrs = dict(scene.gauss_lrs(0))
         lrs['xyz'] = xyz_lr
-        gauss_params, gauss_adam = arena_optim.adam_step(
-            state.gauss_params, g_gauss, state.gauss_adam, lrs,
-            state.gauss_aux.alive, apply=iteration >= gauss_delay)
+        apply_gauss = iteration >= gauss_delay
+        adam_b = arena_optim.ArenaAdamState(
+            m=sl(state.gauss_adam.m), v=sl(state.gauss_adam.v),
+            step=state.gauss_adam.step)
+        params_b_new, adam_b_new = arena_optim.adam_step(
+            params_b, g_gauss, adam_b, lrs, alive_b, apply=apply_gauss)
+        wb = lambda full, b: jax.tree.map(
+            lambda f, x: f.at[:bucket].set(x), full, b)
+        gauss_params = wb(state.gauss_params, params_b_new)
+        gauss_adam = arena_optim.ArenaAdamState(
+            m=wb(state.gauss_adam.m, adam_b_new.m),
+            v=wb(state.gauss_adam.v, adam_b_new.v), step=adam_b_new.step)
+
+        # densification stats: g_means2d is d(mean loss)/d offsets — scale
+        # by B to recover per-camera gradients (reference accumulates one
+        # camera per iteration; a B-batch equals B reference iterations)
+        in_window = weights.get('_in_densify_window', 0.0) > 0
+
+        def accumulate(aux):
+            def body(i, a):
+                return densify_mod.add_stats_prefix(
+                    a, g_means2d[i] * B, radii[i])
+            return jax.lax.fori_loop(0, B, body, aux)
+
+        aux = jax.lax.cond(in_window, accumulate, lambda a: a,
+                           state.gauss_aux)
 
         new_state = TrainState(
-            gauss_params=gauss_params, gauss_aux=state.gauss_aux,
-            gauss_adam=gauss_adam, conv_params=conv_params,
-            conv_opt=conv_opt, rng=rng)
-        return new_state, {'loss': loss}
+            gauss_params=gauss_params, gauss_aux=aux, gauss_adam=gauss_adam,
+            conv_params=conv_params, conv_opt=conv_opt, rng=rng)
+        metrics['n_alive'] = jnp.sum(aux.alive)
+        metrics['loss'] = loss
+        return new_state, metrics
 
     def place(state, cameras):
         state = jax.device_put(state, repl)

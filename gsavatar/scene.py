@@ -153,20 +153,17 @@ class Scene:
         self._seed = seed
 
     # ------------------------------------------------------------------
-    def init_state(self) -> TrainState:
-        """Build the full TrainState in ONE jitted computation.
-
-        Running flax `Module.init` + optax init eagerly dispatches thousands
-        of tiny ops; on a tunneled TPU backend each pays a host round-trip
-        (measured ~4 min for the full avatar stack). One jit = one compile +
-        one execution."""
+    def _init_fn_and_args(self):
+        """(jittable init fn, example args). Hoisted so init_state and the
+        checkpoint-restore template share one function: init_state jits it
+        once (cached on self), load_checkpoint only eval_shapes it."""
         cfg = self.cfg
         points, colors = self.train_dataset.readPointCloud()
         cam0 = self.train_dataset[0]
-        self.conv_tx = converter_optimizer(cfg, int(cfg.opt.iterations))
+        if not hasattr(self, 'conv_tx'):
+            self.conv_tx = converter_optimizer(cfg, int(cfg.opt.iterations))
         seed = self._seed
 
-        @jax.jit
         def _init(points, colors, cam0):
             gauss_params, gauss_aux = G.create_from_pcd(
                 points, colors, self.capacity, self.use_sh,
@@ -185,8 +182,39 @@ class Scene:
                               gauss_adam=gauss_adam, conv_params=conv_params,
                               conv_opt=conv_opt, rng=rng)
 
-        return _init(jnp.asarray(points, jnp.float32),
-                     jnp.asarray(colors, jnp.float32), cam0)
+        args = (jnp.asarray(points, jnp.float32),
+                jnp.asarray(colors, jnp.float32), cam0)
+        return _init, args
+
+    def init_state(self) -> TrainState:
+        """Build the full TrainState in ONE jitted computation.
+
+        Running flax `Module.init` + optax init eagerly dispatches thousands
+        of tiny ops; on a tunneled TPU backend each pays a host round-trip
+        (measured ~4 min for the full avatar stack). One jit = one compile +
+        one execution. The jitted callable is cached on self so repeat calls
+        hit the in-memory jit cache."""
+        fn, args = self._init_fn_and_args()
+        if not hasattr(self, '_init_jit'):
+            self._init_jit = jax.jit(fn)
+        return self._init_jit(*args)
+
+    def state_template(self):
+        """TrainState pytree of jax.ShapeDtypeStructs — a restore template
+        obtained WITHOUT compiling or running the init graph."""
+        fn, args = self._init_fn_and_args()
+        return jax.eval_shape(fn, *args)
+
+    def bucket_for(self, n_alive: int) -> int:
+        """Alive-prefix bucket: n_alive rounded up to opt.bucket_granularity
+        (0 disables bucketing -> full capacity). Coarse granularity keeps the
+        number of distinct compiled step shapes small; the persistent
+        compilation cache absorbs the retraces."""
+        g = int(self.cfg.opt.get('bucket_granularity', 8192))
+        if g <= 0:
+            return self.capacity
+        import math
+        return min(self.capacity, max(g, int(math.ceil(n_alive / g)) * g))
 
     def gauss_lrs(self, iteration):
         """Per-field LRs for the arena Adam (gaussian_model.py:206-216)."""
@@ -224,7 +252,7 @@ class Scene:
     def load_checkpoint(self, path: str) -> tuple:
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
-        template = self.init_state()
+        template = self.state_template()
         restored = ckptr.restore(os.path.abspath(path), item={
             'gauss_params': template.gauss_params,
             'gauss_aux': template.gauss_aux,

@@ -44,21 +44,28 @@ def loss_weights(cfg, iteration: int) -> dict:
     return out
 
 
-def make_train_step(scene: Scene):
+def make_loss_fn(scene: Scene):
+    """The per-camera loss assembly (reference train.py:106-178), shared by
+    the single-chip step (make_train_step) and the sharded multi-chip step
+    (parallel/shard.py) so the two cannot drift.
+
+    Signature: loss_fn(conv_params, gauss_params, alive, nn_ix,
+    means2d_offset, camera, iteration, weights, k_noise, k_skin,
+    active_sh_degree) -> (loss, (metrics, radii))."""
     converter = scene.converter
     raster_cfg = scene.raster_config
     background = scene.background
     mask_kind = scene.cfg.opt.get('mask_loss_type', 'l1')
-    gauss_delay = int(scene.cfg.model.gaussian.get('delay', 0))
     pool_pts = scene.skinning_pool_pts
     pool_w = scene.skinning_pool_w
     n_reg = scene.n_reg_pts
     use_sh = scene.use_sh
     max_deg = scene.max_sh_degree
 
-    # perceptual loss: static gate — requires exported VGG-LPIPS weights
-    # (ops/lpips.py docstring) AND a non-zero lambda somewhere in the
-    # schedule; when off, the VGG graph is never built.
+    # perceptual loss: static gate — needs a weight source (exported bundle
+    # or the documented random-VGG fallback, ops/lpips.py) AND a non-zero
+    # lambda somewhere in the schedule; when off, the VGG graph is never
+    # built.
     from gsavatar.ops import lpips as lpips_mod
     lam_p = scene.cfg.opt.get('lambda_perceptual', 0.0)
     if isinstance(lam_p, (list, tuple)):
@@ -69,75 +76,100 @@ def make_train_step(scene: Scene):
     use_perceptual = schedule_on and lpips_mod.available()
     crop_hw = tuple(scene.cfg.opt.get('perceptual_crop_hw', (256, 256)))
 
-    @functools.partial(jax.jit, static_argnames=('active_sh_degree',),
+    def loss_fn(conv_params, gauss_params, alive, nn_ix, means2d_offset,
+                camera, iteration, weights, k_noise, k_skin,
+                active_sh_degree: int):
+        gview = G.Gaussians(params=gauss_params, alive=alive,
+                            active_sh_degree=active_sh_degree,
+                            max_sh_degree=max_deg, use_sh=use_sh)
+        pkg = render(converter, conv_params, gview, camera, iteration,
+                     raster_cfg, background, train=True, rng=k_noise,
+                     means2d_offset=means2d_offset)
+        gt = camera.image
+        gt_mask = camera.mask
+
+        loss_l1 = L.l1_loss(pkg.render, gt)
+        loss_dssim = 1.0 - ssim(pkg.render, gt)
+        loss_mask = L.mask_loss(pkg.opacity_render, gt_mask, mask_kind)
+
+        # skinning distillation on a random pool minibatch
+        sel = jax.random.randint(k_skin, (n_reg,), 0, pool_pts.shape[0])
+        loss_skinning = converter.apply(
+            conv_params, pool_pts[sel], pool_w[sel],
+            method=converter.skinning_loss)
+
+        loss_ax, loss_ac = L.full_aiap_loss(gview, pkg.deformed_gaussians,
+                                            nn_ix=nn_ix)
+        loss_opacity = L.opacity_entropy_loss(
+            pkg.deformed_gaussians.get_opacity,
+            pkg.deformed_gaussians.alive)
+
+        w = weights
+        loss = (w['lambda_l1'] * loss_l1
+                + w['lambda_dssim'] * loss_dssim
+                + w['lambda_mask'] * loss_mask
+                + w['lambda_skinning'] * loss_skinning
+                + w['lambda_aiap_xyz'] * loss_ax
+                + w['lambda_aiap_cov'] * loss_ac
+                + w['lambda_opacity'] * loss_opacity)
+        if use_perceptual:
+            fg_r, fg_gt = L.foreground_crop(pkg.render, gt, gt_mask,
+                                            crop_hw)
+            loss_perceptual = lpips_mod.lpips(fg_r, fg_gt)
+            loss = loss + w['lambda_perceptual'] * loss_perceptual
+        else:
+            loss_perceptual = jnp.float32(0.0)
+        for name, value in pkg.loss_reg.items():
+            loss = loss + w.get(f'lambda_{name}', 0.0) * value
+
+        metrics = {
+            'loss/l1_loss': loss_l1, 'loss/ssim_loss': loss_dssim,
+            'loss/mask_loss': loss_mask,
+            'loss/loss_skinning': loss_skinning,
+            'loss/xyz_aiap_loss': loss_ax, 'loss/cov_aiap_loss': loss_ac,
+            'loss/opacity_loss': loss_opacity,
+            'loss/perceptual_loss': loss_perceptual,
+            'loss/total_loss': loss,
+            'psnr': L.psnr(pkg.render, gt),
+            'overflow/pairs': pkg.pair_overflow,
+            'overflow/tile': pkg.tile_overflow,
+        }
+        for name, value in pkg.loss_reg.items():
+            metrics[f'loss/loss_{name}'] = value
+        return loss, (metrics, pkg.radii)
+
+    return loss_fn
+
+
+def make_train_step(scene: Scene):
+    gauss_delay = int(scene.cfg.model.gaussian.get('delay', 0))
+    loss_core = make_loss_fn(scene)
+
+    @functools.partial(jax.jit,
+                       static_argnames=('active_sh_degree', 'bucket'),
                        donate_argnums=(0,))
     def train_step(state: TrainState, camera, iteration, weights, xyz_lr,
-                   active_sh_degree: int = 0):
+                   active_sh_degree: int = 0, bucket: int = 0):
+        # `bucket` = alive-prefix length (rounded up; densify compacts alive
+        # slots to the front): every per-gaussian stage — deform, MLPs,
+        # rasterize, losses, Adam — runs over bucket rows, not capacity.
+        if not bucket:
+            bucket = scene.capacity
         rng, k_noise, k_skin, k_split = jax.random.split(state.rng, 4)
+        sl = lambda tree: jax.tree.map(lambda x: x[:bucket], tree)
+        params_b = sl(state.gauss_params)
+        alive_b = state.gauss_aux.alive[:bucket]
+        nn_ix_b = state.gauss_aux.nn_ix[:bucket]
 
         def loss_fn(conv_params, gauss_params, means2d_offset):
-            gview = G.make_view(gauss_params, state.gauss_aux,
-                                active_sh_degree=active_sh_degree,
-                                max_sh_degree=max_deg, use_sh=use_sh)
-            pkg = render(converter, conv_params, gview, camera, iteration,
-                         raster_cfg, background, train=True, rng=k_noise,
-                         means2d_offset=means2d_offset)
-            gt = camera.image
-            gt_mask = camera.mask
+            return loss_core(conv_params, gauss_params, alive_b, nn_ix_b,
+                             means2d_offset, camera, iteration, weights,
+                             k_noise, k_skin, active_sh_degree)
 
-            loss_l1 = L.l1_loss(pkg.render, gt)
-            loss_dssim = 1.0 - ssim(pkg.render, gt)
-            loss_mask = L.mask_loss(pkg.opacity_render, gt_mask, mask_kind)
-
-            # skinning distillation on a random pool minibatch
-            sel = jax.random.randint(k_skin, (n_reg,), 0, pool_pts.shape[0])
-            loss_skinning = converter.apply(
-                conv_params, pool_pts[sel], pool_w[sel],
-                method=converter.skinning_loss)
-
-            loss_ax, loss_ac = L.full_aiap_loss(gview, pkg.deformed_gaussians)
-            loss_opacity = L.opacity_entropy_loss(
-                pkg.deformed_gaussians.get_opacity,
-                pkg.deformed_gaussians.alive)
-
-            w = weights
-            loss = (w['lambda_l1'] * loss_l1
-                    + w['lambda_dssim'] * loss_dssim
-                    + w['lambda_mask'] * loss_mask
-                    + w['lambda_skinning'] * loss_skinning
-                    + w['lambda_aiap_xyz'] * loss_ax
-                    + w['lambda_aiap_cov'] * loss_ac
-                    + w['lambda_opacity'] * loss_opacity)
-            if use_perceptual:
-                fg_r, fg_gt = L.foreground_crop(pkg.render, gt, gt_mask,
-                                                crop_hw)
-                loss_perceptual = lpips_mod.lpips(fg_r, fg_gt)
-                loss = loss + w['lambda_perceptual'] * loss_perceptual
-            else:
-                loss_perceptual = jnp.float32(0.0)
-            for name, value in pkg.loss_reg.items():
-                loss = loss + w.get(f'lambda_{name}', 0.0) * value
-
-            metrics = {
-                'loss/l1_loss': loss_l1, 'loss/ssim_loss': loss_dssim,
-                'loss/mask_loss': loss_mask,
-                'loss/loss_skinning': loss_skinning,
-                'loss/xyz_aiap_loss': loss_ax, 'loss/cov_aiap_loss': loss_ac,
-                'loss/opacity_loss': loss_opacity,
-                'loss/perceptual_loss': loss_perceptual,
-                'loss/total_loss': loss,
-                'psnr': L.psnr(pkg.render, gt),
-                'overflow/pairs': pkg.pair_overflow,
-                'overflow/tile': pkg.tile_overflow,
-            }
-            for name, value in pkg.loss_reg.items():
-                metrics[f'loss/loss_{name}'] = value
-            return loss, (metrics, pkg.radii)
-
-        means2d_zero = jnp.zeros((scene.capacity, 2))
+        means2d_zero = jnp.zeros((bucket, 2))
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
         (loss, (metrics, radii)), (g_conv, g_gauss, g_means2d) = grad_fn(
-            state.conv_params, state.gauss_params, means2d_zero)
+            state.conv_params, params_b, means2d_zero)
 
         # converter optimizer (clip + per-group adam + exp decay)
         updates, conv_opt = scene.conv_tx.update(
@@ -145,22 +177,30 @@ def make_train_step(scene: Scene):
         conv_params = jax.tree.map(lambda p, u: p + u, state.conv_params,
                                    updates)
 
-        # gaussian arena adam with delay gate
+        # gaussian arena adam with delay gate, over the bucket prefix only
         lrs = {'xyz': xyz_lr}
         for k, v in scene.gauss_lrs(0).items():
             if k != 'xyz':
                 lrs[k] = v
         apply_gauss = iteration >= gauss_delay
-        gauss_params, gauss_adam = arena_optim.adam_step(
-            state.gauss_params, g_gauss, state.gauss_adam, lrs,
-            state.gauss_aux.alive, apply=apply_gauss)
+        adam_b = arena_optim.ArenaAdamState(
+            m=sl(state.gauss_adam.m), v=sl(state.gauss_adam.v),
+            step=state.gauss_adam.step)
+        params_b_new, adam_b_new = arena_optim.adam_step(
+            params_b, g_gauss, adam_b, lrs, alive_b, apply=apply_gauss)
+        wb = lambda full, b: jax.tree.map(
+            lambda f, x: f.at[:bucket].set(x), full, b)
+        gauss_params = wb(state.gauss_params, params_b_new)
+        gauss_adam = arena_optim.ArenaAdamState(
+            m=wb(state.gauss_adam.m, adam_b_new.m),
+            v=wb(state.gauss_adam.v, adam_b_new.v), step=adam_b_new.step)
 
         # densification stats (train.py:217-220), gated by the caller via
         # in_densify_window (weights dict carries it as a traced scalar)
         in_window = weights['_in_densify_window'] > 0
         aux = jax.lax.cond(
             in_window,
-            lambda a: densify_mod.add_stats(a, g_means2d, radii),
+            lambda a: densify_mod.add_stats_prefix(a, g_means2d, radii),
             lambda a: a, state.gauss_aux)
 
         new_state = TrainState(
@@ -193,16 +233,120 @@ def make_densify_step(scene: Scene):
             state.gauss_params, state.gauss_adam, state.gauss_aux.alive)
         return state.replace(gauss_params=params, gauss_adam=adam)
 
-    return densify_step, opacity_reset_step
+    @functools.partial(jax.jit, static_argnames=('bucket',))
+    def refresh_knn(state: TrainState, bucket: int):
+        """Recompute the cached AIAP neighbor indices over the alive prefix
+        (run after every densify/compaction)."""
+        from gsavatar.ops import knn
+        xyz = state.gauss_params.xyz[:bucket]
+        alive = state.gauss_aux.alive[:bucket]
+        ix = knn.knn_self(xyz, G.K_NEIGHBORS, mask=alive)
+        return state.replace(gauss_aux=state.gauss_aux.replace(
+            nn_ix=state.gauss_aux.nn_ix.at[:bucket].set(ix)))
+
+    return densify_step, opacity_reset_step, refresh_knn
+
+
+def make_validation(scene: Scene):
+    """In-training validation pass (reference train.py:236-297): renders the
+    full val set + every (len/10)-th train frame, reports per-split
+    l1/psnr/ssim/lpips means, the opacity histogram and the live point count.
+    All metrics run full-image under one jit (fixed shapes); LPIPS uses the
+    best-available weights (ops/lpips.py)."""
+    from gsavatar.ops import lpips as lpips_mod
+    use_lpips = lpips_mod.available()
+
+    @functools.partial(jax.jit, static_argnames=('active_sh_degree',))
+    def render_and_score(state: TrainState, camera,
+                         active_sh_degree: int = 0):
+        gview = G.make_view(state.gauss_params, state.gauss_aux,
+                            active_sh_degree=active_sh_degree,
+                            max_sh_degree=scene.max_sh_degree,
+                            use_sh=scene.use_sh)
+        pkg = render(scene.converter, state.conv_params, gview, camera,
+                     jnp.int32(10 ** 9), scene.raster_config,
+                     scene.background)
+        img = jnp.clip(pkg.render, 0.0, 1.0)
+        gt = jnp.clip(camera.image, 0.0, 1.0)
+        out = {'l1_loss': L.l1_loss(img, gt), 'psnr': L.psnr(img, gt),
+               'ssim': ssim(img, gt)}
+        if use_lpips:
+            out['lpips'] = lpips_mod.lpips(img, gt)
+        return out, img
+
+    @jax.jit
+    def opacity_histogram(state: TrainState):
+        op = jax.nn.sigmoid(state.gauss_params.opacity[:, 0])
+        alive = state.gauss_aux.alive
+        hist = jnp.histogram(jnp.where(alive, op, -1.0),
+                             bins=20, range=(0.0, 1.0))[0]
+        return hist
+
+    def validation(state: TrainState, iteration: int, logger, exp_dir=None,
+                   save_images: bool = False, max_val_frames=None):
+        deg = scene.active_sh_degree(iteration)
+        splits = {
+            'test': list(range(len(scene.test_dataset))),
+            'train': list(range(0, len(scene.train_dataset),
+                                max(len(scene.train_dataset) // 10, 1))),
+        }
+        if max_val_frames:
+            splits = {k: v[:max_val_frames] for k, v in splits.items()}
+        results = {}
+        for name, idxs in splits.items():
+            if not idxs:
+                continue
+            dataset = (scene.test_dataset if name == 'test'
+                       else scene.train_dataset)
+            acc: dict = {}
+            for i in idxs:
+                camera = dataset[i]
+                m, img = render_and_score(state, camera,
+                                          active_sh_degree=deg)
+                for k, v in m.items():
+                    acc.setdefault(k, []).append(float(v))
+                if save_images and exp_dir:
+                    from PIL import Image
+                    d = os.path.join(exp_dir, 'validation',
+                                     f'iter_{iteration}')
+                    os.makedirs(d, exist_ok=True)
+                    Image.fromarray(
+                        (np.asarray(img) * 255).astype(np.uint8)).save(
+                        os.path.join(d, f'{name}_{camera.image_name}.png'))
+            for k, v in acc.items():
+                results[f'val/{name}_{k}'] = float(np.mean(v))
+        hist = np.asarray(opacity_histogram(state))
+        results['val/opacity_histogram'] = hist.tolist()
+        results['val/total_points'] = int(np.sum(
+            np.asarray(state.gauss_aux.alive)))
+        if logger is not None:
+            logger.log(iteration, results)
+        psnr_key = 'val/test_psnr'
+        if psnr_key in results:
+            print(f"\n[ITER {iteration}] Evaluating test: "
+                  f"PSNR {results[psnr_key]:.2f}", flush=True)
+        return results
+
+    return validation
 
 
 def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
              log_every: int = 10, progress: bool = True):
     """Full optimization loop. Returns (scene, final state, logger)."""
     scene = scene or Scene(cfg, seed=max(int(cfg.get('seed', -1)), 0))
-    state = scene.init_state()
     opt = cfg.opt
     iterations = int(max_iterations or opt.iterations)
+
+    # resume (reference train.py:59,73-74 `start_checkpoint`)
+    start_checkpoint = cfg.get('start_checkpoint')
+    if start_checkpoint:
+        state, first_iteration = scene.load_checkpoint(str(start_checkpoint))
+        first_iteration += 1
+        print(f"Resuming from {start_checkpoint} at iteration "
+              f"{first_iteration}")
+    else:
+        state = scene.init_state()
+        first_iteration = 1
 
     exp_dir = cfg.get('exp_dir') or os.path.join(
         'exp', str(cfg.get('name', 'run')))
@@ -210,11 +354,19 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
     logger = MetricLogger(os.path.join(exp_dir, 'metrics.jsonl'))
 
     train_step = make_train_step(scene)
-    densify_step, opacity_reset_step = make_densify_step(scene)
+    densify_step, opacity_reset_step, refresh_knn = make_densify_step(scene)
+    validation = make_validation(scene)
+
+    n_alive = int(np.sum(np.asarray(state.gauss_aux.alive)))
+    bucket = scene.bucket_for(n_alive)
 
     checkpoint_iterations = list(cfg.get('checkpoint_iterations', []) or [])
     checkpoint_iterations.append(iterations)  # train.py:306
     save_iterations = list(cfg.get('save_iterations', []) or [])
+    test_interval = int(cfg.get('test_interval', 0) or 0)
+    test_iterations = set(cfg.get('test_iterations', []) or [])
+    max_val_frames = cfg.get('max_val_frames')  # cap for smoke runs
+    overflow_alarmed = False
 
     densify_until = int(opt.densify_until_iter)
     densify_from = int(opt.densify_from_iter)
@@ -227,7 +379,7 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
     data_stack: list = []
     t0 = time.time()
 
-    for iteration in range(1, iterations + 1):
+    for iteration in range(first_iteration, iterations + 1):
         if not data_stack:
             data_stack = list(range(len(scene.train_dataset)))
         data_idx = data_stack.pop(int(rng.integers(len(data_stack))))
@@ -241,7 +393,7 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
 
         state, metrics = train_step(state, camera,
                                     jnp.int32(iteration), weights, xyz_lr,
-                                    active_sh_degree=deg)
+                                    active_sh_degree=deg, bucket=bucket)
 
         if in_window and iteration > densify_from \
                 and iteration % densify_interval == 0:
@@ -250,16 +402,39 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
             state, dinfo = densify_step(state, key, use_ss)
             logger.log(iteration, {f'densify/{k}': int(v)
                                    for k, v in dinfo.items()})
+            bucket = scene.bucket_for(int(dinfo['n_alive']))
+            state = refresh_knn(state, bucket=bucket)
 
         if iteration < densify_until and (
                 iteration % opacity_reset_interval == 0
                 or (white_bg and iteration == densify_from)):
             state = opacity_reset_step(state)
 
+        # in-loop validation (reference train.py:211,236-297)
+        if (test_interval > 0 and iteration % test_interval == 0) \
+                or iteration in test_iterations:
+            validation(state, iteration, logger, exp_dir,
+                       save_images=bool(cfg.get('save_val_images', False)),
+                       max_val_frames=max_val_frames)
+            t0 = time.time()  # don't count validation in iter_time
+
         if iteration % log_every == 0 or iteration == 1:
             m = {k: float(v) for k, v in metrics.items()}
             m['iter_time'] = (time.time() - t0) / log_every * 1000.0
             logger.log(iteration, m)
+            # fail-loudly on dropped work: the reference never drops splats,
+            # so a nonzero overflow counter is a silent quality divergence
+            n_over = m.get('overflow/pairs', 0) + m.get('overflow/tile', 0)
+            if n_over > 0 and not overflow_alarmed:
+                overflow_alarmed = True
+                msg = (f"[gsavatar] WARNING iter {iteration}: rasterizer "
+                       f"overflow (pairs={m.get('overflow/pairs', 0):.0f}, "
+                       f"tile={m.get('overflow/tile', 0):.0f}) — splats are "
+                       f"being DROPPED. Raise rasterizer.max_pairs / "
+                       f"per_tile_capacity.")
+                print(msg, flush=True)
+                if bool(cfg.get('strict_overflow', False)):
+                    raise RuntimeError(msg)
             if progress and (iteration % (log_every * 10) == 0
                              or iteration == 1):
                 print(f"[{iteration}/{iterations}] "
@@ -285,6 +460,8 @@ def main(argv=None):
     dataset=zjumocap_377_mono option=iter15k opt.iterations=100 ...`"""
     import sys
     from gsavatar.config import load_config
+    from gsavatar.utils.jax_cache import setup_cache
+    setup_cache()
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = load_config(overrides=overrides)
     cfg['exp_dir'] = cfg.get('exp_dir') or os.path.join('exp', str(cfg.name))

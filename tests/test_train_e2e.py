@@ -67,10 +67,35 @@ class TestTrainStep:
         assert int(metrics['overflow/pairs']) == 0
         assert int(metrics['overflow/tile']) == 0
 
+    def test_bucketed_step_matches_full(self, scene_state):
+        """A step over the alive-prefix bucket must match the full-capacity
+        step (dead slots contribute nothing)."""
+        cfg, scene, state = scene_state
+        step = make_train_step(scene)
+        camera = scene.train_dataset[0]
+        n_alive = int(jnp.sum(state.gauss_aux.alive))
+        state_b = jax.tree.map(jnp.copy, state)
+        w = loss_weights(cfg, 1)
+        w['_in_densify_window'] = 1.0
+        sf, mf = step(state, camera, jnp.int32(1), w, 1e-3,
+                      active_sh_degree=0)
+        sb, mb = step(state_b, camera, jnp.int32(1), w, 1e-3,
+                      active_sh_degree=0, bucket=n_alive)
+        np.testing.assert_allclose(float(mf['loss/total_loss']),
+                                   float(mb['loss/total_loss']),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sf.gauss_params.xyz),
+                                   np.asarray(sb.gauss_params.xyz),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sf.gauss_aux.xyz_gradient_accum),
+            np.asarray(sb.gauss_aux.xyz_gradient_accum),
+            rtol=1e-4, atol=1e-7)
+
     def test_densify_and_reset(self, scene_state):
         cfg, scene, state = scene_state
         step = make_train_step(scene)
-        densify_step, opacity_reset = make_densify_step(scene)
+        densify_step, opacity_reset, refresh_knn = make_densify_step(scene)
         camera = scene.train_dataset[0]
         n0 = int(jnp.sum(state.gauss_aux.alive))
         for it in range(1, 6):
@@ -91,6 +116,10 @@ class TestTrainStep:
         assert n1 <= capacity
         # stats were reset
         assert float(jnp.sum(state.gauss_aux.denom)) == 0.0
+        # compaction: alive slots form a contiguous prefix
+        alive = np.asarray(state.gauss_aux.alive)
+        assert alive[:n1].all() and not alive[n1:].any()
+        state = refresh_knn(state, bucket=scene.bucket_for(n1))
         state = opacity_reset(state)
         op = jax.nn.sigmoid(state.gauss_params.opacity)[
             np.asarray(state.gauss_aux.alive)]
