@@ -159,7 +159,13 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, capacity: int,
 
 
 def make_view(params: GaussianParams, aux: GaussianAux, *, active_sh_degree=0,
-              max_sh_degree=3, use_sh=True) -> Gaussians:
-    return Gaussians(params=params, alive=aux.alive,
+              max_sh_degree=3, use_sh=True, bucket: int = 0) -> Gaussians:
+    """`bucket` > 0 slices the alive-prefix (see densify compaction) so every
+    downstream stage runs over ~n_alive rows instead of capacity."""
+    alive = aux.alive
+    if bucket:
+        params = jax.tree.map(lambda x: x[:bucket], params)
+        alive = alive[:bucket]
+    return Gaussians(params=params, alive=alive,
                      active_sh_degree=active_sh_degree,
                      max_sh_degree=max_sh_degree, use_sh=use_sh)

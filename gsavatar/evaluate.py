@@ -45,13 +45,19 @@ def evaluate(cfg, scene: Scene, state: TrainState, iteration: int,
     deg = scene.active_sh_degree(iteration)
     evaluator = get_evaluator(str(cfg.dataset.name)) if compute_metrics \
         else None
+    alive_np = np.asarray(state.gauss_aux.alive)
+    n_alive = int(alive_np.sum())
+    # bucketing needs the alive-prefix invariant (densify compaction);
+    # checkpoints written before compaction existed may violate it
+    bucket = scene.bucket_for(n_alive) if alive_np[:n_alive].all() \
+        else 0
 
     @jax.jit
     def render_one(st, camera):
         gview = G.make_view(st.gauss_params, st.gauss_aux,
                             active_sh_degree=deg,
                             max_sh_degree=scene.max_sh_degree,
-                            use_sh=scene.use_sh)
+                            use_sh=scene.use_sh, bucket=bucket)
         pkg = render(scene.converter, st.conv_params, gview, camera,
                      iteration, scene.raster_config, scene.background)
         return jnp.clip(pkg.render, 0.0, 1.0), pkg.opacity_render

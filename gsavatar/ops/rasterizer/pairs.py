@@ -36,42 +36,68 @@ class PairArrays(NamedTuple):
     pair_overflow: jnp.ndarray  # () int32
 
 
-def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
-                max_pairs: int, znear: float = 0.2,
-                zfar: float = 100.0) -> PairArrays:
+ROW_BITS = 6  # rect row index within a splat; grid_y <= 64 (height <= 1024)
+
+
+def expand_pairs(proj: Projection, grid_x: int, grid_y: int, max_pairs: int):
+    """Expand per-gaussian tile rects into a flat pair arena WITHOUT any
+    integer division (a 1M-wide div/mod by a traced vector costs ~150 ms on
+    TPU — tools/profile_pairs.py). One run is written per (gaussian,
+    rect-row): the run start is excl[g] + r*w[g], the payload packs
+    (g << ROW_BITS | r); a log-depth cummax fills the runs, after which the
+    tile id is pure shifts/multiplies:
+        col  = slot - (excl[g] + r*w[g])
+        tile = (y0[g] + r) * grid_x + x0[g] + col
+    Returns (g_safe, tile_id, valid, total); tile_id = num_tiles for dead
+    slots."""
+    assert grid_y <= (1 << ROW_BITS), grid_y
     num_tiles = grid_x * grid_y
     counts = proj.tiles_touched.astype(jnp.int32)
     offsets = jnp.cumsum(counts)
     total = offsets[-1]
     excl = offsets - counts
+    n_gauss = counts.shape[0]
+
+    w = proj.rect_max[:, 0] - proj.rect_min[:, 0]
+    h = proj.rect_max[:, 1] - proj.rect_min[:, 1]
+    gidx = jnp.arange(n_gauss, dtype=jnp.int32)
+
+    r_ar = jnp.arange(grid_y, dtype=jnp.int32)[None, :]        # (1, H)
+    run_start = excl[:, None] + r_ar * w[:, None]              # (N, H)
+    valid_run = (r_ar < h[:, None]) & (counts[:, None] > 0)
+    write_pos = jnp.where(valid_run, run_start, max_pairs).reshape(-1)
+    payload = ((gidx[:, None] << ROW_BITS) | r_ar).reshape(-1)
+    seg = jnp.full((max_pairs,), -1, jnp.int32)
+    seg = seg.at[write_pos].max(payload, mode='drop')
+    packed = jax.lax.associative_scan(jnp.maximum, seg)
 
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
-    # expand counts into slot->gaussian runs WITHOUT a sort/searchsorted:
-    # every gaussian with pairs writes its index at its run's first slot,
-    # then a log-depth cummax fills the runs. (searchsorted method='sort'
-    # costs a full (max_pairs + N) lax.sort — ~40% of forward time.)
-    n_gauss_i = counts.shape[0]
-    gidx = jnp.arange(n_gauss_i, dtype=jnp.int32)
-    write_pos = jnp.where(counts > 0, excl, max_pairs)  # drop empty runs
-    seg = jnp.full((max_pairs,), -1, jnp.int32)
-    seg = seg.at[write_pos].max(gidx, mode='drop')
-    g = jax.lax.associative_scan(jnp.maximum, seg)
-    valid = (slots < jnp.minimum(total, max_pairs)) & (g >= 0)
-    g_safe = jnp.clip(g, 0, n_gauss_i - 1)
-
-    local = slots - excl[g_safe]
-    x0 = proj.rect_min[g_safe, 0]
-    y0 = proj.rect_min[g_safe, 1]
-    wg = jnp.maximum(proj.rect_max[g_safe, 0] - x0, 1)
-    tile_id = (y0 + local // wg) * grid_x + (x0 + local % wg)
+    valid = (slots < jnp.minimum(total, max_pairs)) & (packed >= 0)
+    g = packed >> ROW_BITS
+    r = packed & ((1 << ROW_BITS) - 1)
+    g_safe = jnp.clip(g, 0, n_gauss - 1)
+    col = slots - (excl[g_safe] + r * w[g_safe])
+    tile_id = (proj.rect_min[g_safe, 1] + r) * grid_x \
+        + proj.rect_min[g_safe, 0] + col
     tile_id = jnp.where(valid, tile_id, num_tiles)
+    return g_safe, tile_id, valid, total
+
+
+def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
+                max_pairs: int, znear: float = 0.2,
+                zfar: float = 100.0) -> PairArrays:
+    num_tiles = grid_x * grid_y
+    slots = jnp.arange(max_pairs, dtype=jnp.int32)
+    g_safe, tile_id, valid, total = expand_pairs(proj, grid_x, grid_y,
+                                                 max_pairs)
+    n_gauss_i = proj.tiles_touched.shape[0]
 
     depth = proj.depths[g_safe]
     dq = jnp.clip(((depth - znear) / (zfar - znear) * DEPTH_LEVELS)
                   .astype(jnp.int32), 0, DEPTH_LEVELS)
     key = (tile_id << DEPTH_BITS) | jnp.where(valid, dq, DEPTH_LEVELS)
 
-    n_gauss = counts.shape[0]
+    n_gauss = n_gauss_i
     g_payload = jnp.where(valid, g_safe, n_gauss)  # sentinel for dead pairs
     sorted_key, sorted_g = jax.lax.sort((key, g_payload), num_keys=1)
     sorted_tile = sorted_key >> DEPTH_BITS

@@ -29,32 +29,12 @@ class TileAssignment(NamedTuple):
 def build_tile_assignment(proj: Projection, grid_x: int, grid_y: int,
                           max_pairs: int, per_tile_capacity: int) -> TileAssignment:
     num_tiles = grid_x * grid_y
-    counts = proj.tiles_touched.astype(jnp.int32)            # (N,)
-    offsets = jnp.cumsum(counts)                              # inclusive
-    total = offsets[-1]
-    excl = offsets - counts                                   # exclusive
-
-    # slot p belongs to gaussian g = first index with offsets[g] > p;
-    # run expansion via scatter + cummax (see pairs.py — cheaper than any
-    # searchsorted variant at this query count)
+    # run expansion via per-(gaussian, rect-row) scatter + cummax — shared
+    # with the pairs path; division-free (see pairs.expand_pairs)
+    from .pairs import expand_pairs
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
-    n_gauss_i = counts.shape[0]
-    gidx = jnp.arange(n_gauss_i, dtype=jnp.int32)
-    write_pos = jnp.where(counts > 0, excl, max_pairs)
-    seg = jnp.full((max_pairs,), -1, jnp.int32)
-    seg = seg.at[write_pos].max(gidx, mode='drop')
-    g = jax.lax.associative_scan(jnp.maximum, seg)
-    valid = (slots < jnp.minimum(total, max_pairs)) & (g >= 0)
-    g_safe = jnp.clip(g, 0, n_gauss_i - 1)
-
-    local = slots - excl[g_safe]
-    x0 = proj.rect_min[g_safe, 0]
-    y0 = proj.rect_min[g_safe, 1]
-    wg = jnp.maximum(proj.rect_max[g_safe, 0] - x0, 1)
-    tx = x0 + local % wg
-    ty = y0 + local // wg
-    tile_id = jnp.where(valid, ty * grid_x + tx, num_tiles)   # sentinel last
-
+    g_safe, tile_id, valid, total = expand_pairs(proj, grid_x, grid_y,
+                                                 max_pairs)
     depth = jnp.where(valid, proj.depths[g_safe], jnp.inf)
 
     # lexicographic (tile, depth) sort; gaussian index rides along

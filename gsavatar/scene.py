@@ -205,6 +205,28 @@ class Scene:
         fn, args = self._init_fn_and_args()
         return jax.eval_shape(fn, *args)
 
+    def device_camera(self, idx: int, split: str = 'train'):
+        """Camera pytree with leaves resident on device, cached per index.
+
+        Dataset items carry numpy leaves; passing them straight into the
+        jitted step re-uploads the ~3.5 MB image+mask EVERY iteration — on a
+        tunneled TPU backend that transfer dwarfs the compute. The cache
+        device_puts each camera once (bounded FIFO)."""
+        if not hasattr(self, '_cam_cache'):
+            self._cam_cache = {}
+        cache = self._cam_cache.setdefault(split, {})
+        if idx not in cache:
+            dataset = (self.train_dataset if split == 'train'
+                       else self.test_dataset)
+            cam = dataset[idx]
+            cache[idx] = jax.device_put(jax.tree.map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray)
+                else x, cam))
+            limit = int(self.cfg.get('camera_cache_size', 256))
+            while len(cache) > limit:
+                cache.pop(next(iter(cache)))
+        return cache[idx]
+
     def bucket_for(self, n_alive: int) -> int:
         """Alive-prefix bucket: n_alive rounded up to opt.bucket_granularity
         (0 disables bucketing -> full capacity). Coarse granularity keeps the

@@ -256,13 +256,14 @@ def make_validation(scene: Scene):
     from gsavatar.ops import lpips as lpips_mod
     use_lpips = lpips_mod.available()
 
-    @functools.partial(jax.jit, static_argnames=('active_sh_degree',))
+    @functools.partial(jax.jit,
+                       static_argnames=('active_sh_degree', 'bucket'))
     def render_and_score(state: TrainState, camera,
-                         active_sh_degree: int = 0):
+                         active_sh_degree: int = 0, bucket: int = 0):
         gview = G.make_view(state.gauss_params, state.gauss_aux,
                             active_sh_degree=active_sh_degree,
                             max_sh_degree=scene.max_sh_degree,
-                            use_sh=scene.use_sh)
+                            use_sh=scene.use_sh, bucket=bucket)
         pkg = render(scene.converter, state.conv_params, gview, camera,
                      jnp.int32(10 ** 9), scene.raster_config,
                      scene.background)
@@ -283,7 +284,8 @@ def make_validation(scene: Scene):
         return hist
 
     def validation(state: TrainState, iteration: int, logger, exp_dir=None,
-                   save_images: bool = False, max_val_frames=None):
+                   save_images: bool = False, max_val_frames=None,
+                   bucket: int = 0):
         deg = scene.active_sh_degree(iteration)
         splits = {
             'test': list(range(len(scene.test_dataset))),
@@ -302,7 +304,8 @@ def make_validation(scene: Scene):
             for i in idxs:
                 camera = dataset[i]
                 m, img = render_and_score(state, camera,
-                                          active_sh_degree=deg)
+                                          active_sh_degree=deg,
+                                          bucket=bucket)
                 for k, v in m.items():
                     acc.setdefault(k, []).append(float(v))
                 if save_images and exp_dir:
@@ -357,8 +360,13 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
     densify_step, opacity_reset_step, refresh_knn = make_densify_step(scene)
     validation = make_validation(scene)
 
-    n_alive = int(np.sum(np.asarray(state.gauss_aux.alive)))
-    bucket = scene.bucket_for(n_alive)
+    alive_np = np.asarray(state.gauss_aux.alive)
+    n_alive = int(alive_np.sum())
+    # bucketing needs the alive-prefix invariant (densify compaction);
+    # checkpoints from before compaction existed may violate it -> full
+    # capacity until the next densify restores the invariant
+    bucket = scene.bucket_for(n_alive) if alive_np[:n_alive].all() \
+        else scene.capacity
 
     checkpoint_iterations = list(cfg.get('checkpoint_iterations', []) or [])
     checkpoint_iterations.append(iterations)  # train.py:306
@@ -379,11 +387,25 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
     data_stack: list = []
     t0 = time.time()
 
+    # jax.profiler hooks: cfg.profile_trace_dir + [start, stop) iteration
+    # window -> a perfetto/tensorboard trace of the captured steps
+    trace_dir = cfg.get('profile_trace_dir')
+    trace_start = int(cfg.get('profile_start_iter', 10))
+    trace_stop = int(cfg.get('profile_stop_iter', trace_start + 3))
+    tracing = False
+
     for iteration in range(first_iteration, iterations + 1):
+        if trace_dir and iteration == trace_start and not tracing:
+            jax.profiler.start_trace(str(trace_dir))
+            tracing = True
+        if tracing and iteration == trace_stop:
+            jax.block_until_ready(state.gauss_params.xyz)
+            jax.profiler.stop_trace()
+            tracing = False
         if not data_stack:
             data_stack = list(range(len(scene.train_dataset)))
         data_idx = data_stack.pop(int(rng.integers(len(data_stack))))
-        camera = scene.train_dataset[data_idx]
+        camera = scene.device_camera(data_idx, 'train')
 
         weights = loss_weights(cfg, iteration)
         in_window = (iteration < densify_until) and (iteration > gauss_delay)
@@ -415,7 +437,7 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
                 or iteration in test_iterations:
             validation(state, iteration, logger, exp_dir,
                        save_images=bool(cfg.get('save_val_images', False)),
-                       max_val_frames=max_val_frames)
+                       max_val_frames=max_val_frames, bucket=bucket)
             t0 = time.time()  # don't count validation in iter_time
 
         if iteration % log_every == 0 or iteration == 1:

@@ -132,6 +132,46 @@ class TestTrainStep:
         assert np.isfinite(float(metrics['loss/total_loss']))
 
 
+class TestTrainingLoop:
+    def test_validation_resume_and_bucketing(self, tmp_path):
+        """training() end-to-end: in-loop validation writes val metrics,
+        checkpoints save, and a resumed run continues from the checkpoint."""
+        import json
+        from gsavatar.train import training
+
+        cfg = tiny_cfg(**{
+            "opt.iterations": 6,
+            "test_interval": 3,
+            "max_val_frames": 1,
+            "model.gaussian.delay": 0,
+            "checkpoint_iterations": "[4]",
+            "exp_dir": str(tmp_path / "exp"),
+        })
+        scene, state, logger = training(cfg, log_every=2, progress=False)
+        lines = [json.loads(l) for l in
+                 open(tmp_path / "exp" / "metrics.jsonl")]
+        val_rows = [l for l in lines if any(k.startswith('val/')
+                                            for k in l)]
+        assert val_rows, "no validation rows logged"
+        row = val_rows[-1]
+        assert 'val/test_psnr' in row and np.isfinite(row['val/test_psnr'])
+        assert 'val/total_points' in row
+        assert 'val/test_lpips' in row  # random-VGG fallback keeps LPIPS live
+        assert (tmp_path / "exp" / "ckpt4").exists()
+        assert (tmp_path / "exp" / "ckpt6").exists()
+
+        # resume: continue from ckpt4 to 8
+        cfg2 = tiny_cfg(**{
+            "opt.iterations": 8,
+            "test_interval": 0,
+            "model.gaussian.delay": 0,
+            "start_checkpoint": str(tmp_path / "exp" / "ckpt4"),
+            "exp_dir": str(tmp_path / "exp2"),
+        })
+        scene2, state2, _ = training(cfg2, log_every=2, progress=False)
+        assert (tmp_path / "exp2" / "ckpt8").exists()
+
+
 class TestVariants:
     @pytest.mark.parametrize("ov", [
         {"texture": "sh", "non_rigid": "identity", "rigid": "identity",

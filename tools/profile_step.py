@@ -45,7 +45,7 @@ def build(n_target, capacity, max_pairs):
 def time_step(scene, state, label, iters=10, bucket=0):
     from gsavatar.train import make_train_step, loss_weights
     train_step = make_train_step(scene)
-    camera = scene.train_dataset[0]
+    camera = scene.device_camera(0, 'train')
     weights = loss_weights(scene.cfg, 1000)
     weights['_in_densify_window'] = 1.0
     xyz_lr = float(scene.xyz_lr_fn(1000))
