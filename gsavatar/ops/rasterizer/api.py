@@ -40,6 +40,9 @@ class RasterizeConfig:
     max_pairs: int = struct.field(pytree_node=False, default=2 ** 21)
     per_tile_capacity: int = struct.field(pytree_node=False, default=512)
     chunk: int = struct.field(pytree_node=False, default=64)
+    # static per-splat tile window (pairs path): splats overlapping more
+    # than max_rect tiles per axis are clamped (counted in pair_overflow)
+    max_rect: int = struct.field(pytree_node=False, default=8)
     # 'pallas' = fused per-tile kernels (pallas_composite.py, TPU speed
     # path, no per-tile capacity); 'xla' = dense-matrix scan (composite.py,
     # reference path, runs anywhere); 'pallas_interpret' = pallas kernels in
@@ -114,7 +117,8 @@ def _rasterize_pairs(proj, colors, opacities, background, config):
     from . import pallas_composite as _pc
 
     pa = _pairs.build_pairs(proj, colors, opacities, config.grid_x,
-                            config.grid_y, config.max_pairs)
+                            config.grid_y, config.max_pairs,
+                            max_rect=config.max_rect)
     # chunk rows of tail padding (the kernel's last DMA may overrun the
     # final tile range) + lane padding to a full 128-lane tile (physically
     # free: a (P, 12) f32 array is already tiled (1, 128) in HBM)

@@ -84,43 +84,66 @@ def expand_pairs(proj: Projection, grid_x: int, grid_y: int, max_pairs: int):
 
 
 def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
-                max_pairs: int, znear: float = 0.2,
-                zfar: float = 100.0) -> PairArrays:
+                max_pairs: int, znear: float = 0.2, zfar: float = 100.0,
+                max_rect: int = 8) -> PairArrays:
+    """Dense rect-window pair building: instead of expanding a flat pair
+    arena (a 1M-update scatter costs ~50 ms — tools/profile_pairs*.py), every
+    gaussian owns a static (max_rect x max_rect) window of candidate tiles;
+    keys are built by pure broadcasting (no gathers, no division, no
+    scatter), dead slots get a sentinel key that sorts to the end, and ONE
+    (key, gaussian) sort both orders and compacts. Per-tile ranges fall out
+    of a binary search over the sorted tile prefix. Splats overlapping more
+    than max_rect tiles per axis have their rect clamped (top-left anchored)
+    with the dropped tiles counted in pair_overflow — the overflow alarm in
+    train.py makes that loud."""
     num_tiles = grid_x * grid_y
-    slots = jnp.arange(max_pairs, dtype=jnp.int32)
-    g_safe, tile_id, valid, total = expand_pairs(proj, grid_x, grid_y,
-                                                 max_pairs)
-    n_gauss_i = proj.tiles_touched.shape[0]
+    n_gauss = proj.tiles_touched.shape[0]
+    x0 = proj.rect_min[:, 0]
+    y0 = proj.rect_min[:, 1]
+    w = proj.rect_max[:, 0] - x0
+    h = proj.rect_max[:, 1] - y0
+    vis = proj.tiles_touched > 0
+    wc = jnp.minimum(w, max_rect)
+    hc = jnp.minimum(h, max_rect)
+    rect_dropped = jnp.sum(jnp.where(vis, w * h - wc * hc, 0))
 
-    depth = proj.depths[g_safe]
-    dq = jnp.clip(((depth - znear) / (zfar - znear) * DEPTH_LEVELS)
+    r = jnp.arange(max_rect, dtype=jnp.int32)[None, :, None]   # (1, R, 1)
+    c = jnp.arange(max_rect, dtype=jnp.int32)[None, None, :]   # (1, 1, R)
+    tile = ((y0[:, None, None] + r) * grid_x
+            + x0[:, None, None] + c)                            # (N, R, R)
+    valid = (vis[:, None, None] & (r < hc[:, None, None])
+             & (c < wc[:, None, None]))
+    dq = jnp.clip(((proj.depths - znear) / (zfar - znear) * DEPTH_LEVELS)
                   .astype(jnp.int32), 0, DEPTH_LEVELS)
-    key = (tile_id << DEPTH_BITS) | jnp.where(valid, dq, DEPTH_LEVELS)
+    sentinel = (num_tiles << DEPTH_BITS) | DEPTH_LEVELS
+    key = jnp.where(valid, (tile << DEPTH_BITS) | dq[:, None, None],
+                    sentinel).reshape(-1)
+    gidx = jnp.arange(n_gauss, dtype=jnp.int32)
+    gid = jnp.where(valid, gidx[:, None, None], n_gauss).reshape(-1)
 
-    n_gauss = n_gauss_i
-    g_payload = jnp.where(valid, g_safe, n_gauss)  # sentinel for dead pairs
-    sorted_key, sorted_g = jax.lax.sort((key, g_payload), num_keys=1)
+    sorted_key, sorted_g = jax.lax.sort((key, gid), num_keys=1)
+    sorted_key = sorted_key[:max_pairs]
+    sorted_g = sorted_g[:max_pairs]
     sorted_tile = sorted_key >> DEPTH_BITS
 
-    # per-tile range starts without a second sort: scatter-min each pair's
-    # slot index into its tile bin, then a reversed cummin assigns empty
-    # tiles the start of the next non-empty one (== searchsorted 'left')
-    first = jnp.full((num_tiles + 1,), max_pairs, jnp.int32)
-    first = first.at[sorted_tile].min(slots, mode='drop')
-    tile_start = jax.lax.associative_scan(jnp.minimum, first, reverse=True)
+    # per-tile [start, end) ranges: binary search over the sorted tiles
+    tile_start = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side='left').astype(jnp.int32)
 
-    # one fused gather of everything the compositor needs; dead pairs
-    # (sentinel index) read row 0 but sit in the sentinel tile's range,
-    # which no kernel program touches
+    # one fused gather of everything the compositor needs; sentinel pairs
+    # read row 0 but sit past the last tile range, which no program touches
     gathered = jnp.concatenate([
         proj.means2d, proj.conics, colors, opacities.reshape(-1, 1),
         jnp.zeros((colors.shape[0], PAIR_COLS - 9), colors.dtype)], axis=1)
     pair_data = gathered[jnp.minimum(sorted_g, n_gauss - 1)]
 
+    total = jnp.sum(jnp.where(vis, wc * hc, 0))
     return PairArrays(pair_data=pair_data, pair_gauss=sorted_g,
                       tile_start=tile_start,
                       n_pairs=jnp.minimum(total, max_pairs),
-                      pair_overflow=jnp.maximum(total - max_pairs, 0))
+                      pair_overflow=jnp.maximum(total - max_pairs, 0)
+                      + rect_dropped)
 
 
 def scatter_pair_grads(pair_grads, pair_gauss, n_gaussians: int):

@@ -126,6 +126,7 @@ class Scene:
             max_pairs=int(r.get('max_pairs', 2 ** 21)),
             per_tile_capacity=int(r.get('per_tile_capacity', 512)),
             chunk=int(r.get('chunk', 64)),
+            max_rect=int(r.get('max_rect', 8)),
             backend=resolve_backend(str(r.get('backend', 'auto'))))
 
         self.background = jnp.asarray(
