@@ -69,8 +69,9 @@ def evaluate(cfg, scene: Scene, state: TrainState, iteration: int,
         n = min(n, max_frames)
     for idx in range(n):
         camera = scene.test_dataset[idx]
+        dev_cam = scene.device_camera(idx, 'test')
         t0 = time.time()
-        img, alpha = jax.block_until_ready(render_one(state, camera))
+        img, alpha = jax.block_until_ready(render_one(state, dev_cam))
         times.append((time.time() - t0) * 1000.0)
         img_np = np.asarray(img)
 

@@ -220,6 +220,12 @@ class Scene:
             dataset = (self.train_dataset if split == 'train'
                        else self.test_dataset)
             cam = dataset[idx]
+            # normalize per-frame STATIC metadata (frame_id/cam_id/
+            # image_name/K are non-pytree fields): distinct values would
+            # retrace the jitted step for EVERY camera. Nothing in the
+            # compute path reads them — the traced identities the model
+            # consumes (latent_idx, pose_idx, in_frame_dict) are leaves.
+            cam = cam.replace(frame_id=0, cam_id=0, image_name='', K=None)
             cache[idx] = jax.device_put(jax.tree.map(
                 lambda x: jnp.asarray(x) if isinstance(x, np.ndarray)
                 else x, cam))

@@ -303,7 +303,9 @@ def make_validation(scene: Scene):
             acc: dict = {}
             for i in idxs:
                 camera = dataset[i]
-                m, img = render_and_score(state, camera,
+                dev_cam = scene.device_camera(
+                    i, 'train' if name == 'train' else 'test')
+                m, img = render_and_score(state, dev_cam,
                                           active_sh_degree=deg,
                                           bucket=bucket)
                 for k, v in m.items():
