@@ -56,9 +56,15 @@ def _safe_norm(x, axis=-1):
 
 def aiap_loss(x_can, x_obs, nn_ix, alive):
     """L1 between canonical and deformed neighbor distances
-    (utils/loss_utils.py:87-102), masked to alive arena slots."""
-    d_can = _safe_norm(x_can[:, None, :] - x_can[nn_ix])
-    d_obs = _safe_norm(x_obs[:, None, :] - x_obs[nn_ix])
+    (utils/loss_utils.py:87-102), masked to alive arena slots. Neighbor
+    gathers run through the scatter-free transpose (ops/segsum.py)."""
+    from gsavatar.ops.segsum import gather_rows
+    k = nn_ix.shape[1]
+    flat = nn_ix.reshape(-1)
+    can_nb = gather_rows(x_can, flat).reshape(-1, k, x_can.shape[-1])
+    obs_nb = gather_rows(x_obs, flat).reshape(-1, k, x_obs.shape[-1])
+    d_can = _safe_norm(x_can[:, None, :] - can_nb)
+    d_obs = _safe_norm(x_obs[:, None, :] - obs_nb)
     err = jnp.abs(d_can - d_obs)
     w = alive[:, None].astype(err.dtype)
     return jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[1], 1.0)

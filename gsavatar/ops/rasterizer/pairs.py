@@ -132,11 +132,14 @@ def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
         side='left').astype(jnp.int32)
 
     # one fused gather of everything the compositor needs; sentinel pairs
-    # read row 0 but sit past the last tile range, which no program touches
+    # read the last row but sit past the last tile range, which no program
+    # touches. gather_rows routes the backward through the sort-based
+    # segment sum (ops/segsum.py) instead of XLA's ~30 ms scatter-add.
+    from gsavatar.ops.segsum import gather_rows
     gathered = jnp.concatenate([
         proj.means2d, proj.conics, colors, opacities.reshape(-1, 1),
         jnp.zeros((colors.shape[0], PAIR_COLS - 9), colors.dtype)], axis=1)
-    pair_data = gathered[jnp.minimum(sorted_g, n_gauss - 1)]
+    pair_data = gather_rows(gathered, sorted_g)
 
     total = jnp.sum(jnp.where(vis, wc * hc, 0))
     return PairArrays(pair_data=pair_data, pair_gauss=sorted_g,

@@ -1,4 +1,5 @@
 """Unit tests: KNN, SSIM, grid sampling, surface sampling, PLY I/O."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -183,3 +184,38 @@ class TestLossTerms:
         mask = jnp.zeros((32, 32))
         r, g = L.foreground_crop(img, img, mask, (16, 16))
         assert r.shape == (16, 16, 3)
+
+
+class TestSegsum:
+    def test_segment_sum_matches_scatter(self):
+        import numpy as np
+        from gsavatar.ops import segsum
+        rng = np.random.default_rng(0)
+        M, S, C = 5000, 257, 3
+        ids = jnp.asarray(rng.integers(0, S + 40, M), jnp.int32)  # some OOB
+        vals = jnp.asarray(rng.normal(size=(M, C)), jnp.float32)
+        want = np.zeros((S, C), np.float32)
+        np.add.at(want, np.clip(np.asarray(ids), 0, None)
+                  [np.asarray(ids) < S], np.asarray(vals)[np.asarray(ids) < S])
+        got = np.asarray(segsum.segment_sum(vals, ids, S))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_gather_rows_grad_matches_plain(self):
+        import numpy as np
+        from gsavatar.ops import segsum
+        rng = np.random.default_rng(1)
+        S, M, C = 123, 4096, 2
+        src = jnp.asarray(rng.normal(size=(S, C)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, S, M), jnp.int32)
+        ct = jnp.asarray(rng.normal(size=(M, C)), jnp.float32)
+
+        def f_fast(s):
+            return jnp.sum(segsum.gather_rows(s, idx) * ct)
+
+        def f_ref(s):
+            return jnp.sum(s[idx] * ct)
+
+        gf = jax.grad(f_fast)(src)
+        gr = jax.grad(f_ref)(src)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-5)

@@ -29,7 +29,7 @@ def build(n_target, capacity, max_pairs):
         "dataset=synthetic",
         "dataset.img_hw=[540,540]",
         "dataset.n_verts=4096",
-        "dataset.n_points=32768",
+        f"dataset.n_points={n_target}",
         f"dataset.n_target_gaussians={n_target}",
         "dataset.train_frames=[0,4,1]",
         f"model.gaussian.capacity={capacity}",

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of N train steps and print the top device
+ops by total duration (parsed from the xplane proto directly)."""
+import glob
+import os
+import sys
+import time
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsavatar.utils.jax_cache import setup_cache
+setup_cache()
+
+
+def parse_xplane(trace_dir, top=40):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    files = glob.glob(os.path.join(trace_dir, '**', '*.xplane.pb'),
+                      recursive=True)
+    assert files, f"no xplane in {trace_dir}"
+    xspace = xplane_pb2.XSpace()
+    with open(sorted(files)[-1], 'rb') as f:
+        xspace.ParseFromString(f.read())
+    totals = {}
+    for plane in xspace.planes:
+        if 'TPU' not in plane.name and 'tpu' not in plane.name \
+                and 'Device' not in plane.name:
+            continue
+        ev_meta = plane.event_metadata
+        for line in plane.lines:
+            lname = line.name.lower()
+            if 'step' in lname and 'xla' not in lname:
+                continue
+            for ev in line.events:
+                name = ev_meta[ev.metadata_id].name
+                totals[name] = totals.get(name, 0) + ev.duration_ps
+    items = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+    ssum = sum(totals.values())
+    print(f"total device ps: {ssum/1e9:.1f} ms (all events, may double-count"
+          " nested lines)")
+    for name, ps in items:
+        print(f"{ps/1e9:9.2f} ms  {name[:110]}")
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=32768)
+    ap.add_argument('--cap', type=int, default=131072)
+    ap.add_argument('--pairs', type=int, default=2097152)
+    ap.add_argument('--steps', type=int, default=3)
+    ap.add_argument('--out', default='/tmp/jax_trace')
+    args = ap.parse_args()
+
+    from gsavatar.config import load_config
+    from gsavatar.scene import Scene
+    from gsavatar.train import make_train_step, loss_weights
+
+    cfg = load_config(overrides=[
+        "dataset=synthetic", "dataset.img_hw=[540,540]",
+        "dataset.n_verts=4096", f"dataset.n_points={args.n}",
+        f"dataset.n_target_gaussians={args.n}",
+        "dataset.train_frames=[0,4,1]",
+        f"model.gaussian.capacity={args.cap}",
+        f"rasterizer.max_pairs={args.pairs}",
+        "opt.skinning_pool_size=16384",
+    ])
+    scene = Scene(cfg, seed=0)
+    state = scene.init_state()
+    train_step = make_train_step(scene)
+    camera = scene.device_camera(0, 'train')
+    weights = loss_weights(cfg, 1000)
+    weights['_in_densify_window'] = 1.0
+    xyz_lr = float(scene.xyz_lr_fn(1000))
+    n_alive = int(np.sum(np.asarray(state.gauss_aux.alive)))
+    bucket = scene.bucket_for(n_alive)
+    print(f"bucket={bucket}", flush=True)
+
+    # warmup/compile
+    state, metrics = train_step(state, camera, jnp.int32(1000), weights,
+                                xyz_lr, active_sh_degree=0, bucket=bucket)
+    jax.block_until_ready(metrics['loss/total_loss'])
+
+    t0 = time.time()
+    jax.profiler.start_trace(args.out)
+    for i in range(args.steps):
+        state, metrics = train_step(state, camera, jnp.int32(1001 + i),
+                                    weights, xyz_lr, active_sh_degree=0,
+                                    bucket=bucket)
+    jax.block_until_ready(metrics['loss/total_loss'])
+    jax.profiler.stop_trace()
+    print(f"{args.steps} steps in {(time.time()-t0)*1000:.0f} ms traced",
+          flush=True)
+    parse_xplane(args.out)
+
+
+if __name__ == '__main__':
+    main()
