@@ -64,7 +64,8 @@ def main():
     state, metrics = train_step(state, cameras[0], jnp.int32(1000), weights,
                                 xyz_lr, active_sh_degree=0, bucket=bucket)
     jax.block_until_ready(metrics['loss/total_loss'])
-    overflow = int(metrics['overflow/pairs']) + int(metrics['overflow/tile'])
+    overflow = (int(metrics['overflow/pairs']) + int(metrics['overflow/tile'])
+                + int(metrics['overflow/rect']))
 
     iters = 20
     t0 = time.time()

@@ -41,7 +41,8 @@ class RasterizeConfig:
     per_tile_capacity: int = struct.field(pytree_node=False, default=512)
     chunk: int = struct.field(pytree_node=False, default=64)
     # static per-splat tile window (pairs path): splats overlapping more
-    # than max_rect tiles per axis are clamped (counted in pair_overflow)
+    # than max_rect tiles per axis have a centered clamped window (dropped
+    # tiles counted in rect_dropped)
     max_rect: int = struct.field(pytree_node=False, default=8)
     # 'pallas' = fused per-tile kernels (pallas_composite.py, TPU speed
     # path, no per-tile capacity); 'xla' = dense-matrix scan (composite.py,
@@ -65,6 +66,7 @@ class RasterizeResult(NamedTuple):
     n_pairs: jnp.ndarray        # () int32
     pair_overflow: jnp.ndarray  # () int32
     tile_overflow: jnp.ndarray  # () int32
+    rect_dropped: jnp.ndarray   # () int32 (pairs backend max_rect clamp)
 
 
 def rasterize(means3d, colors, opacities, cov3d, *, viewmatrix,
@@ -101,7 +103,8 @@ def rasterize(means3d, colors, opacities, cov3d, *, viewmatrix,
     return RasterizeResult(
         image=comp.image, alpha=comp.alpha, radii=proj.radii,
         n_pairs=assign.n_pairs, pair_overflow=assign.pair_overflow,
-        tile_overflow=assign.tile_overflow)
+        tile_overflow=assign.tile_overflow,
+        rect_dropped=jnp.zeros((), jnp.int32))
 
 
 def _untile(x, grid_x, grid_y, width, height):
@@ -142,4 +145,5 @@ def _rasterize_pairs(proj, colors, opacities, background, config):
     return RasterizeResult(
         image=img, alpha=alpha, radii=proj.radii, n_pairs=pa.n_pairs,
         pair_overflow=pa.pair_overflow,
-        tile_overflow=jnp.zeros((), jnp.int32))
+        tile_overflow=jnp.zeros((), jnp.int32),
+        rect_dropped=pa.rect_dropped)

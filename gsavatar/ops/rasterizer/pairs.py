@@ -33,7 +33,8 @@ class PairArrays(NamedTuple):
     pair_gauss: jnp.ndarray  # (P,) int32 source gaussian per pair
     tile_start: jnp.ndarray  # (num_tiles + 1,) int32 range offsets
     n_pairs: jnp.ndarray     # () int32
-    pair_overflow: jnp.ndarray  # () int32
+    pair_overflow: jnp.ndarray  # () int32 pairs dropped (arena full)
+    rect_dropped: jnp.ndarray   # () int32 tiles dropped by the max_rect clamp
 
 
 ROW_BITS = 6  # rect row index within a splat; grid_y <= 64 (height <= 1024)
@@ -93,18 +94,26 @@ def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
     scatter), dead slots get a sentinel key that sorts to the end, and ONE
     (key, gaussian) sort both orders and compacts. Per-tile ranges fall out
     of a binary search over the sorted tile prefix. Splats overlapping more
-    than max_rect tiles per axis have their rect clamped (top-left anchored)
-    with the dropped tiles counted in pair_overflow — the overflow alarm in
-    train.py makes that loud."""
+    than max_rect tiles per axis have their rect clamped — CENTERED on the
+    full rect (less biased than anchoring a corner) — with the dropped tiles
+    counted separately in rect_dropped; the overflow alarm in train.py makes
+    both counters loud."""
     num_tiles = grid_x * grid_y
+    # packed (tile << DEPTH_BITS) keys go negative once the tile id needs
+    # more than 31 - DEPTH_BITS bits, silently corrupting the sort order
+    assert num_tiles < (1 << (31 - DEPTH_BITS)), (
+        f"tile grid {grid_x}x{grid_y} overflows the packed int32 sort key; "
+        f"max {(1 << (31 - DEPTH_BITS)) - 1} tiles at DEPTH_BITS={DEPTH_BITS}")
     n_gauss = proj.tiles_touched.shape[0]
-    x0 = proj.rect_min[:, 0]
-    y0 = proj.rect_min[:, 1]
-    w = proj.rect_max[:, 0] - x0
-    h = proj.rect_max[:, 1] - y0
+    w = proj.rect_max[:, 0] - proj.rect_min[:, 0]
+    h = proj.rect_max[:, 1] - proj.rect_min[:, 1]
     vis = proj.tiles_touched > 0
     wc = jnp.minimum(w, max_rect)
     hc = jnp.minimum(h, max_rect)
+    # center the clamped window on the rect (stays inside the rect, which
+    # project() already clipped to the grid)
+    x0 = proj.rect_min[:, 0] + (w - wc) // 2
+    y0 = proj.rect_min[:, 1] + (h - hc) // 2
     rect_dropped = jnp.sum(jnp.where(vis, w * h - wc * hc, 0))
 
     r = jnp.arange(max_rect, dtype=jnp.int32)[None, :, None]   # (1, R, 1)
@@ -145,15 +154,5 @@ def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
     return PairArrays(pair_data=pair_data, pair_gauss=sorted_g,
                       tile_start=tile_start,
                       n_pairs=jnp.minimum(total, max_pairs),
-                      pair_overflow=jnp.maximum(total - max_pairs, 0)
-                      + rect_dropped)
-
-
-def scatter_pair_grads(pair_grads, pair_gauss, n_gaussians: int):
-    """Reduce per-pair gradient rows onto gaussians. pair_grads (P, C).
-    Uses a segment-sum scatter-add; pairs for one gaussian were contiguous
-    before sorting, but after the (tile,depth) sort they are scattered —
-    XLA's scatter-add handles the reduction; swap in a sort-based variant if
-    profiling shows it on the critical path."""
-    out = jnp.zeros((n_gaussians, pair_grads.shape[1]), pair_grads.dtype)
-    return out.at[pair_gauss].add(pair_grads, mode='drop')
+                      pair_overflow=jnp.maximum(total - max_pairs, 0),
+                      rect_dropped=rect_dropped)

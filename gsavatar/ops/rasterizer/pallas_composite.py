@@ -13,7 +13,8 @@ The backward kernel re-walks each tile's pairs BACK to front (chunk-reversed)
 reconstructing transmittance by division, forms per-pair gradients w.r.t.
 screen mean / conic / color / opacity in closed form, and writes them to a
 contiguous per-pair gradient array; the caller reduces pairs onto gaussians
-(pairs.scatter_pair_grads). Gradient parity with the autodiff XLA path is
+through the gather transpose (ops/segsum.py gather_rows VJP — sort +
+blocked segment sum). Gradient parity with the autodiff XLA path is
 enforced by tests/test_pallas_raster.py.
 """
 from __future__ import annotations

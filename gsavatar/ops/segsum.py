@@ -2,28 +2,49 @@
 
 XLA's TPU scatter executes ~26M updates/s regardless of flavor (add/set,
 sorted/unique — measured, tools/profile_scatter2.py), while lax.sort runs
-~1G elem/s and gathers ~400M rows/s. Every hot backward that XLA would
-lower to a big scatter-add (hash-grid tables: 4.2M updates = 168 ms; pair
-gradients: 2M x 12 = 32 ms) is therefore reformulated as
+~1G elem/s. Every hot backward that XLA would lower to a big scatter-add
+(hash-grid tables: 7.3M updates; pair gradients: 2M x 12) is therefore
+reformulated as
 
-    sort by segment id -> cumsum -> searchsorted(segment ends) -> diff,
+    sort by segment id (values ride the sort as extra operands)
+    -> blocked one-hot-matmul segment sum (ops/segsum_pallas.py on TPU).
 
-which is pure sort/gather/cumsum: ~10-20 ms for the same shapes.
+The TPU path costs ~2-5 ms for the 7.3M-element hash-grid backward; the
+portable XLA fallback (cumsum -> searchsorted -> diff) runs anywhere but
+pays ~10-100x more at multi-million scale (searchsorted's binary search is
+log2(M) sequential rounds of num_segments random gathers).
 
-Precision note: the cumsum-diff computes each segment total as a difference
-of two running sums; the relative error is ~ulp(|running sum|)/|segment
-total|. For gradient workloads (zero-mean values, segment sizes ~4-8) this
-is ~1e-5 relative — well inside the tolerance of the gradient-parity tests.
-"""
+Precision: the Pallas path accumulates each 512-row block with exact f32
+MXU sums — no running-sum cancellation. The XLA fallback computes segment
+totals as differences of an f32 running cumsum; relative error
+~ulp(|running sum|)/|segment total| (~1e-5 at gradient scales, grows
+~sqrt(M) — tested at realistic scale in tests/test_segsum.py)."""
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
 
 
+def _backend() -> str:
+    """'pallas' | 'pallas_interpret' | 'xla'. Auto: the fused kernel on
+    TPU-like platforms, XLA elsewhere. Override: GSAVATAR_SEGSUM=..."""
+    forced = os.environ.get('GSAVATAR_SEGSUM')
+    if forced:
+        return forced
+    return ('pallas' if jax.default_backend() in ('tpu', 'axon') else 'xla')
+
+
 def segment_sum_sorted(values, seg_ids, num_segments: int):
     """values (M, C) f32, seg_ids (M,) int32 SORTED ascending (ids >=
     num_segments act as dropped). Returns (num_segments, C)."""
+    backend = _backend()
+    if backend.startswith('pallas'):
+        from gsavatar.ops.segsum_pallas import segment_sum_sorted_blocked
+        return segment_sum_sorted_blocked(
+            values, seg_ids, num_segments,
+            interpret=backend.endswith('interpret'))
     c = jnp.cumsum(values, axis=0)                      # (M, C)
     # end[t] = number of elements with id <= t  (index of segment end + 1)
     end = jnp.searchsorted(seg_ids,
@@ -38,12 +59,15 @@ def segment_sum_sorted(values, seg_ids, num_segments: int):
 
 
 def segment_sum(values, seg_ids, num_segments: int):
-    """Unsorted variant: sorts (seg_ids, iota) first, gathers values through
-    the permutation, then segment_sum_sorted."""
-    M = seg_ids.shape[0]
-    perm = jnp.arange(M, dtype=jnp.int32)
-    sids, perm = jax.lax.sort((seg_ids, perm), num_keys=1)
-    return segment_sum_sorted(values[perm], sids, num_segments)
+    """Unsorted variant. The value columns ride the sort as extra operands
+    (one fused multi-operand lax.sort) instead of a sort-permutation
+    followed by a multi-million-row gather — the gather costs more than the
+    wider sort at every hot shape (55 ms vs ~10 ms at 2M x 12)."""
+    cols = [values[:, i] for i in range(values.shape[1])]
+    out = jax.lax.sort((seg_ids, *cols), num_keys=1)
+    sids = out[0]
+    vals_sorted = jnp.stack(out[1:], axis=1)
+    return segment_sum_sorted(vals_sorted, sids, num_segments)
 
 
 def make_gather_with_fast_transpose():

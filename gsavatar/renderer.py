@@ -28,6 +28,7 @@ class RenderPackage(NamedTuple):
     colors: Any              # (N, 3)
     pair_overflow: Any
     tile_overflow: Any
+    rect_dropped: Any
 
     @property
     def render_chw(self):
@@ -64,4 +65,5 @@ def render(converter, conv_params, gaussians: Gaussians, camera, iteration,
         viewspace_grad_hook=means2d_offset,
         visibility_filter=res.radii > 0, radii=res.radii,
         loss_reg=loss_reg, deformed_gaussians=deformed, colors=colors,
-        pair_overflow=res.pair_overflow, tile_overflow=res.tile_overflow)
+        pair_overflow=res.pair_overflow, tile_overflow=res.tile_overflow,
+        rect_dropped=res.rect_dropped)

@@ -133,6 +133,7 @@ def make_loss_fn(scene: Scene):
             'psnr': L.psnr(pkg.render, gt),
             'overflow/pairs': pkg.pair_overflow,
             'overflow/tile': pkg.tile_overflow,
+            'overflow/rect': pkg.rect_dropped,
         }
         for name, value in pkg.loss_reg.items():
             metrics[f'loss/loss_{name}'] = value
@@ -448,14 +449,16 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
             logger.log(iteration, m)
             # fail-loudly on dropped work: the reference never drops splats,
             # so a nonzero overflow counter is a silent quality divergence
-            n_over = m.get('overflow/pairs', 0) + m.get('overflow/tile', 0)
+            n_over = (m.get('overflow/pairs', 0) + m.get('overflow/tile', 0)
+                      + m.get('overflow/rect', 0))
             if n_over > 0 and not overflow_alarmed:
                 overflow_alarmed = True
                 msg = (f"[gsavatar] WARNING iter {iteration}: rasterizer "
                        f"overflow (pairs={m.get('overflow/pairs', 0):.0f}, "
-                       f"tile={m.get('overflow/tile', 0):.0f}) — splats are "
-                       f"being DROPPED. Raise rasterizer.max_pairs / "
-                       f"per_tile_capacity.")
+                       f"tile={m.get('overflow/tile', 0):.0f}, "
+                       f"rect={m.get('overflow/rect', 0):.0f}) — splats are "
+                       f"being DROPPED or cropped. Raise rasterizer."
+                       f"max_pairs / per_tile_capacity / max_rect.")
                 print(msg, flush=True)
                 if bool(cfg.get('strict_overflow', False)):
                     raise RuntimeError(msg)

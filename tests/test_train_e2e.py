@@ -133,6 +133,7 @@ class TestTrainStep:
 
 
 class TestTrainingLoop:
+    @pytest.mark.slow
     def test_validation_resume_and_bucketing(self, tmp_path):
         """training() end-to-end: in-loop validation writes val metrics,
         checkpoints save, and a resumed run continues from the checkpoint."""
