@@ -30,6 +30,85 @@ BASELINE_PIX_PER_S = 15000 / (30 * 60) * 540 * 540  # ~2.43 Mpix/s
 EVAL_FPS_TARGET = 50.0                              # paper's realtime claim
 
 
+def parity_check():
+    """On-device value+gradient agreement of the fused Pallas backend vs
+    the XLA reference path (VERDICT r2 Next #6): renders one random scene
+    on the REAL chip with both backends and compares the image and the
+    gradients w.r.t. every rasterizer input. Returns a dict recorded in the
+    bench JSON so a BENCH round cannot silently regress kernel
+    correctness."""
+    import jax
+    import numpy as np
+    from gsavatar.camera.camera import make_camera
+    from gsavatar.ops.rasterizer import RasterizeConfig, rasterize
+    from gsavatar.utils.transforms import covariance_from_scaling_rotation
+
+    H = W = 128
+    cam = make_camera(R=np.eye(3), T=np.array([0.0, 0.0, 3.0]),
+                      fovx=0.8, fovy=0.8,
+                      image=np.zeros((H, W, 3), np.float32),
+                      mask=np.zeros((H, W), np.float32),
+                      rots=np.zeros((1, 24, 9)), Jtrs=np.zeros((1, 24, 3)),
+                      bone_transforms=np.tile(np.eye(4), (24, 1, 1)))
+    rng = np.random.default_rng(7)
+    n = 512
+    means = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    s = jnp.asarray(0.04 * (0.5 + rng.random((n, 3))), jnp.float32)
+    cov = covariance_from_scaling_rotation(s, 1.0, q)
+    colors = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 0.95, (n, 1)), jnp.float32)
+    bg = jnp.array([0.15, 0.1, 0.2])
+    ct = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+
+    def run(backend):
+        cfg = RasterizeConfig(width=W, height=H, max_pairs=2 ** 15,
+                              per_tile_capacity=512, chunk=32,
+                              backend=backend)
+
+        @jax.jit
+        def val_and_grads(means, colors, opac, cov):
+            def loss(m, c, o, cv):
+                res = rasterize(
+                    m, c, o, cv,
+                    viewmatrix=jnp.asarray(cam.world_view_transform),
+                    full_projmatrix=jnp.asarray(cam.full_proj_transform),
+                    tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+                    background=bg, config=cfg)
+                return jnp.sum(res.image * ct), res.image
+            (lv, img), grads = jax.value_and_grad(
+                loss, argnums=(0, 1, 2, 3), has_aux=True)(
+                    means, colors, opac, cov)
+            return img, grads
+        # highest matmul precision so the XLA reference side is f32-exact
+        # (the fused kernels pin their own matmul precision)
+        with jax.default_matmul_precision('highest'):
+            return jax.block_until_ready(val_and_grads(means, colors, opac,
+                                                       cov))
+
+    img_p, g_p = run('pallas')
+    img_x, g_x = run('xla')
+    # the two backends differ legitimately on a handful of pixels: the
+    # pairs path quantizes depth to 20 bits for its packed sort key
+    # (ops/rasterizer/pairs.py), so splats closer than ~1e-4 of the depth
+    # range composite in a different order than the XLA path's f32 sort.
+    # Gate on the distribution (mean + outlier fraction), which still
+    # catches any real kernel regression (bad DMA offsets / masks corrupt
+    # whole tiles, not isolated reorder pixels).
+    d = jnp.abs(img_p - img_x)
+    img_mean = float(jnp.mean(d))
+    img_bad = float(jnp.mean((d > 1e-2).astype(jnp.float32)))
+    grad_rel = 0.0
+    for a, b in zip(g_p, g_x):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-3)
+        grad_rel = max(grad_rel, float(jnp.mean(jnp.abs(a - b))) / scale)
+    ok = img_mean < 1e-4 and img_bad < 1e-3 and grad_rel < 1e-3
+    return {"parity_check": "ok" if ok else "FAIL",
+            "parity_img_mean_err": round(img_mean, 7),
+            "parity_img_frac_gt_1e2": round(img_bad, 6),
+            "parity_grad_mean_rel": round(grad_rel, 7)}
+
+
 def main():
     from gsavatar.config import load_config
     from gsavatar.core import gaussians as G
@@ -95,6 +174,12 @@ def main():
     jax.block_until_ready(out)
     eval_fps = 20 / (time.time() - t0)
 
+    # on-device kernel correctness gate (cheap; small scene)
+    try:
+        parity = parity_check()
+    except Exception as e:  # never lose the perf line to a check crash
+        parity = {"parity_check": f"ERROR: {type(e).__name__}: {e}"}
+
     h, w = cfg.dataset.img_hw
     pix_per_s = h * w / dt
     print(json.dumps({
@@ -108,6 +193,7 @@ def main():
         "overflow": overflow,
         "eval_render_fps": round(eval_fps, 1),
         "eval_fps_vs_paper_50fps": round(eval_fps / EVAL_FPS_TARGET, 3),
+        **parity,
     }))
 
 

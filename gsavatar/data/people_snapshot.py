@@ -139,6 +139,7 @@ class PeopleSnapshotDataset(BaseDataset):
             frame_dict=self.metadata.get('frame_dict'))
 
     def readPointCloud(self, n_points=50_000):
+        n_points = int(self.cfg.get('n_points', n_points))
         if self.cfg.get('random_init', False):
             aabb = self.metadata['aabb']
             cmin = np.asarray(aabb.coord_min)[None]

@@ -142,6 +142,7 @@ class ZJUMoCapDataset(BaseDataset):
             frame_dict=self.metadata.get('frame_dict'))
 
     def readPointCloud(self, n_points=50_000):
+        n_points = int(self.cfg.get('n_points', n_points))
         random_init = self.cfg.get('random_init', False)
         ply_path = os.path.join(
             self.root_dir, self.subject,

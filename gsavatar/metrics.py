@@ -3,8 +3,11 @@
 Parity: utils/general_utils.py:221-312 of the reference — the ZJU-MoCap
 Evaluator (PSNR = -10 log10 MSE, scikit-image-style SSIM over a mask bbox,
 LPIPS-VGG) and the PeopleSnapshot PSEvaluator (torchmetrics-style
-PSNR/SSIM data_range=1 + LPIPS-Alex). LPIPS terms require the exported
-weight bundles (ops/lpips.py docstring) and report None when unavailable."""
+PSNR/SSIM data_range=1 + LPIPS-Alex). The LPIPS term is keyed by the
+active weight source: 'lpips' only with an exported pretrained bundle
+(reference-comparable values), 'lpips_rand' with the documented
+random-backbone fallback (a one-time warning is printed), absent when
+LPIPS is off entirely (ops/lpips.py docstring)."""
 from __future__ import annotations
 
 from typing import Optional
@@ -14,6 +17,16 @@ import numpy as np
 
 from gsavatar.ops import lpips as lpips_mod
 from gsavatar.ops.ssim import ssim as ssim_3dgs
+
+_warned_random = set()
+
+
+def _warn_random_once(net: str):
+    if net not in _warned_random:
+        _warned_random.add(net)
+        print(f"[gsavatar] LPIPS-{net}: no exported pretrained weights — "
+              f"reporting the random-backbone metric as 'lpips_rand' "
+              f"(NOT comparable to published LPIPS numbers).", flush=True)
 
 
 def psnr(img, gt, valid_mask=None):
@@ -43,36 +56,43 @@ def ssim_masked(img, gt, valid_mask=None):
 
 
 class Evaluator:
-    """ZJU-MoCap metric bundle (general_utils.py:221-236)."""
+    """ZJU-MoCap metric bundle (general_utils.py:221-236): LPIPS-VGG over
+    the mask bounding box."""
+
+    lpips_net = 'vgg'
 
     def __call__(self, img, gt, valid_mask=None):
         out = {'psnr': psnr(img, gt, valid_mask),
                'ssim': ssim_masked(img, gt, valid_mask)}
-        if lpips_mod.available():
+        key = lpips_mod.metric_key(self.lpips_net)
+        if key is not None:
+            if key == 'lpips_rand':
+                _warn_random_once(self.lpips_net)
             a, b = jnp.asarray(img), jnp.asarray(gt)
             if valid_mask is not None:
                 y0, y1, x0, x1 = _bbox_of_mask(np.asarray(valid_mask))
                 a, b = a[y0:y1, x0:x1], b[y0:y1, x0:x1]
-            out['lpips'] = float(lpips_mod.lpips(a, b))
-        else:
-            out['lpips'] = None
+            out[key] = float(lpips_mod.lpips(a, b, net=self.lpips_net))
         return out
 
 
 class PSEvaluator(Evaluator):
     """PeopleSnapshot metric bundle (general_utils.py:294-312). Same PSNR
-    formula at data_range=1; SSIM without mask cropping; LPIPS would use the
-    Alex backbone in the reference — we report the VGG variant when weights
-    exist (documented delta, affects absolute LPIPS values only)."""
+    formula at data_range=1; SSIM without mask cropping; LPIPS uses the
+    Alex backbone like the reference's PSEvaluator."""
+
+    lpips_net = 'alex'
 
     def __call__(self, img, gt, valid_mask=None):
         out = {'psnr': psnr(img, gt),
                'ssim': float(ssim_3dgs(jnp.asarray(img), jnp.asarray(gt)))}
-        if lpips_mod.available():
-            out['lpips'] = float(lpips_mod.lpips(jnp.asarray(img),
-                                                 jnp.asarray(gt)))
-        else:
-            out['lpips'] = None
+        key = lpips_mod.metric_key(self.lpips_net)
+        if key is not None:
+            if key == 'lpips_rand':
+                _warn_random_once(self.lpips_net)
+            out[key] = float(lpips_mod.lpips(jnp.asarray(img),
+                                             jnp.asarray(gt),
+                                             net=self.lpips_net))
         return out
 
 

@@ -130,9 +130,22 @@ def _rasterize_pairs(proj, colors, opacities, background, config):
         ((0, config.chunk), (0, _pc.PAIR_LANES - _pairs.PAIR_COLS)))
 
     num_tiles = config.grid_x * config.grid_y
-    f = _pc.make_composite_pairs(
-        num_tiles, config.grid_x, chunk=config.chunk,
-        interpret=config.backend.endswith('interpret'))
+    interpret = config.backend.endswith('interpret')
+    # under a ('data','model') mesh the fused compositor is partitioned
+    # over `model` via shard_map: each shard composites its contiguous
+    # tile-range slice (pairs are tile-sorted, so every shard's work is one
+    # contiguous pair span); the backward psums per-shard pair gradients
+    from gsavatar.parallel.context import active_mesh
+    mesh = active_mesh()
+    if (mesh is not None and mesh.shape.get('model', 1) > 1
+            and num_tiles % mesh.shape['model'] == 0):
+        f = _pc.make_composite_pairs_sharded(
+            num_tiles, config.grid_x, mesh, chunk=config.chunk,
+            interpret=interpret)
+    else:
+        f = _pc.make_composite_pairs(
+            num_tiles, config.grid_x, chunk=config.chunk,
+            interpret=interpret)
     raw = f(pair_data, pa.tile_start)                       # (T, 8, 256)
 
     acc = _untile(raw[:, 0:3, :].transpose(0, 2, 1), config.grid_x,

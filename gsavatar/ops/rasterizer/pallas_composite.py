@@ -88,13 +88,16 @@ def _chunk_terms(buf, px, py, row_valid):
     return alpha, skip, log1m
 
 
-def _fwd_kernel(tile_start_ref, pair_hbm, out_ref, buf, sem, *, chunk,
-                grid_x, interpret=False):
+def _fwd_kernel(tile_start_ref, tile_base_ref, pair_hbm, out_ref, buf, sem,
+                *, chunk, grid_x, interpret=False):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     end = tile_start_ref[t + 1]
     n = end - start
-    px, py = _pixel_coords(t, grid_x)
+    # tile_base: first global tile id of this kernel's range (nonzero when
+    # the compositor is partitioned over the mesh `model` axis — each shard
+    # owns a contiguous tile-range slice)
+    px, py = _pixel_coords(tile_base_ref[0] + t, grid_x)
 
     def load(i, slot):
         return pltpu.make_async_copy(
@@ -129,9 +132,13 @@ def _fwd_kernel(tile_start_ref, pair_hbm, out_ref, buf, sem, *, chunk,
         w = jnp.where(include, alpha * T_before, 0.0)     # (C, 256)
 
         rgb = data[:, 5:8]                                # (C, 3)
+        # HIGHEST: keep the compositing accumulation f32-exact (the MXU's
+        # default bf16 pass costs ~0.5% on gradients; these matmuls are a
+        # negligible fraction of the kernel)
         acc = acc + jax.lax.dot_general(
             rgb, w, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (3, 256)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (3, 256)
         chunk_min = jnp.min(jnp.where(include, cum, 0.0), axis=0,
                             keepdims=True)
         frozen = jnp.minimum(frozen, chunk_min)
@@ -159,14 +166,18 @@ def _fwd_kernel(tile_start_ref, pair_hbm, out_ref, buf, sem, *, chunk,
 
 def composite_pairs_fwd(pair_data, tile_start, *, num_tiles: int,
                         grid_x: int, chunk: int = 64,
-                        interpret: bool = False):
-    """pair_data (P + chunk, PAIR_LANES) (padded!), tile_start (T+1,).
-    Returns (T, OUT_ROWS, 256) raw tile outputs: rows 0-2 accumulated color
-    WITHOUT background, row 3 alpha, row 4 final transmittance."""
+                        interpret: bool = False, tile_base=None):
+    """pair_data (P + chunk, PAIR_LANES) (padded!), tile_start (T+1,) —
+    T = num_tiles of THIS call (the local slice when sharded; tile_base is
+    the first global tile id, default 0). Returns (T, OUT_ROWS, 256) raw
+    tile outputs: rows 0-2 accumulated color WITHOUT background, row 3
+    alpha, row 4 final transmittance."""
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(_fwd_kernel, chunk=chunk, grid_x=grid_x,
                                interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, OUT_ROWS, P_PIX),
@@ -182,12 +193,12 @@ def composite_pairs_fwd(pair_data, tile_start, *, num_tiles: int,
         out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, P_PIX),
                                        jnp.float32),
         interpret=interpret,
-    )(tile_start, pair_data)
+    )(tile_start, tile_base, pair_data)
 
 
-def _bwd_kernel(tile_start_ref, pair_hbm, ct_hbm, fwd_hbm, grad_hbm,
-                buf, ct_buf, fwd_buf, grad_buf, sem, ct_sem, ft_sem,
-                gr_sem, *, chunk, grid_x, interpret=False):
+def _bwd_kernel(tile_start_ref, tile_base_ref, pair_hbm, ct_hbm, fwd_hbm,
+                grad_hbm, buf, ct_buf, fwd_buf, grad_buf, sem, ct_sem,
+                ft_sem, gr_sem, *, chunk, grid_x, interpret=False):
     """Backward per tile, walking FORWARD with the same DMA pattern as the
     forward kernel. Key identity: the suffix term of the alpha gradient is
     expressed through the forward output (a residual) instead of a
@@ -201,7 +212,7 @@ def _bwd_kernel(tile_start_ref, pair_hbm, ct_hbm, fwd_hbm, grad_hbm,
     start = tile_start_ref[t]
     end = tile_start_ref[t + 1]
     n = end - start
-    px, py = _pixel_coords(t, grid_x)
+    px, py = _pixel_coords(tile_base_ref[0] + t, grid_x)
 
     pltpu.make_async_copy(ct_hbm.at[t], ct_buf, ct_sem).start()
     pltpu.make_async_copy(fwd_hbm.at[t], fwd_buf, ft_sem).start()
@@ -259,7 +270,8 @@ def _bwd_kernel(tile_start_ref, pair_hbm, ct_hbm, fwd_hbm, grad_hbm,
         # dL/dc_k = w_k * ct_rgb
         d_color = jax.lax.dot_general(
             w, ct_rgb, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (C, 3)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (C, 3)
 
         # inclusive prefix of w_j c_j within + before this chunk, one color
         # channel at a time (keeps every cumsum on a clean 2D (C, 256)
@@ -314,15 +326,19 @@ def _bwd_kernel(tile_start_ref, pair_hbm, ct_hbm, fwd_hbm, grad_hbm,
 
 def composite_pairs_bwd(pair_data, tile_start, ct_tiles, fwd_tiles,
                         *, num_tiles: int, grid_x: int,
-                        chunk: int = 64, interpret: bool = False):
+                        chunk: int = 64, interpret: bool = False,
+                        tile_base=None):
     """ct_tiles (T, OUT_ROWS, 256) cotangents of the forward raw output;
     fwd_tiles (T, OUT_ROWS, 256) forward residual. Returns per-pair grads
-    (P + chunk, PAIR_LANES)."""
+    (P + chunk, PAIR_LANES) — only rows inside this call's tile ranges are
+    written (callers mask the rest)."""
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(_bwd_kernel, chunk=chunk, grid_x=grid_x,
                                interpret=interpret)
     P = pair_data.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
@@ -344,7 +360,7 @@ def composite_pairs_bwd(pair_data, tile_start, ct_tiles, fwd_tiles,
         out_shape=jax.ShapeDtypeStruct((P, PAIR_LANES), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, pair_data, ct_tiles, fwd_tiles)
+    )(tile_start, tile_base, pair_data, ct_tiles, fwd_tiles)
 
 
 @functools.lru_cache(maxsize=None)
@@ -378,6 +394,75 @@ def make_composite_pairs(num_tiles: int, grid_x: int, chunk: int = 64,
         row = jnp.arange(grads.shape[0], dtype=jnp.int32)[:, None]
         grads = jnp.where(row < n_valid, grads, 0.0)
         return grads, None
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def make_composite_pairs_sharded(num_tiles: int, grid_x: int, mesh,
+                                 chunk: int = 64, interpret: bool = False):
+    """The fused compositor partitioned over the mesh `model` axis via
+    shard_map: each shard owns the contiguous tile range
+    [m*T/M, (m+1)*T/M) — the (tile,depth)-sorted pair array makes every
+    shard's pairs one contiguous span, so a shard composites (and
+    back-propagates) only its own slice of the work. pair_data and
+    tile_start stay replicated (the pair build is a global sort); the
+    forward output is tile-sharded over `model`; the backward psums the
+    per-shard pair-gradient slices (each shard writes only rows inside its
+    tile ranges, zeroing the rest). Same signature/semantics as
+    make_composite_pairs."""
+    M = int(mesh.shape['model'])
+    assert num_tiles % M == 0, (num_tiles, M)
+    tiles_per = num_tiles // M
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def _local_range(tile_start):
+        m = jax.lax.axis_index('model')
+        base = m * tiles_per
+        ts_local = jax.lax.dynamic_slice(tile_start, (base,),
+                                         (tiles_per + 1,))
+        return base[None].astype(jnp.int32), ts_local
+
+    def fwd_local(pair_data, tile_start):
+        base, ts_local = _local_range(tile_start)
+        return composite_pairs_fwd(
+            pair_data, ts_local, num_tiles=tiles_per, grid_x=grid_x,
+            chunk=chunk, interpret=interpret, tile_base=base)
+
+    def bwd_local(pair_data, tile_start, ct_local, out_local):
+        base, ts_local = _local_range(tile_start)
+        grads = composite_pairs_bwd(
+            pair_data, ts_local, ct_local, out_local,
+            num_tiles=tiles_per, grid_x=grid_x, chunk=chunk,
+            interpret=interpret, tile_base=base)
+        # only rows inside THIS shard's tile ranges are valid
+        row = jnp.arange(grads.shape[0], dtype=jnp.int32)[:, None]
+        grads = jnp.where((row >= ts_local[0]) & (row < ts_local[-1]),
+                          grads, 0.0)
+        return jax.lax.psum(grads, 'model')
+
+    smap = functools.partial(shard_map, mesh=mesh, check_vma=False)
+    fwd_sharded = smap(fwd_local, in_specs=(P(None, None), P(None)),
+                       out_specs=P('model', None, None))
+    bwd_sharded = smap(bwd_local,
+                       in_specs=(P(None, None), P(None),
+                                 P('model', None, None),
+                                 P('model', None, None)),
+                       out_specs=P(None, None))
+
+    @jax.custom_vjp
+    def f(pair_data, tile_start):
+        return fwd_sharded(pair_data, tile_start)
+
+    def f_fwd(pair_data, tile_start):
+        out = f(pair_data, tile_start)
+        return out, (pair_data, tile_start, out)
+
+    def f_bwd(res, ct):
+        pair_data, tile_start, out = res
+        return bwd_sharded(pair_data, tile_start, ct, out), None
 
     f.defvjp(f_fwd, f_bwd)
     return f

@@ -160,7 +160,11 @@ class Scene:
         once (cached on self), load_checkpoint only eval_shapes it."""
         cfg = self.cfg
         points, colors = self.train_dataset.readPointCloud()
-        cam0 = self.train_dataset[0]
+        # static (non-pytree) Camera metadata must be hashable for jit:
+        # real-data loaders put a numpy K and per-frame labels there
+        # (normalized exactly like device_camera does)
+        cam0 = self.train_dataset[0].replace(frame_id=0, cam_id=0,
+                                             image_name='', K=None)
         if not hasattr(self, 'conv_tx'):
             self.conv_tx = converter_optimizer(cfg, int(cfg.opt.iterations))
         seed = self._seed
@@ -282,14 +286,27 @@ class Scene:
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
         template = self.state_template()
-        restored = ckptr.restore(os.path.abspath(path), item={
+        item = {
             'gauss_params': template.gauss_params,
             'gauss_aux': template.gauss_aux,
             'gauss_adam': template.gauss_adam,
             'conv_params': template.conv_params,
             'conv_opt': template.conv_opt, 'rng': template.rng,
             'iteration': 0,
-        })
+        }
+        try:
+            restored = ckptr.restore(os.path.abspath(path), item=item)
+        except Exception:
+            # checkpoints written before a state field existed (e.g.
+            # GaussianAux.nn_ix) fail the strict template restore — fall
+            # back to a raw restore merged onto the template by path,
+            # zero-filling missing leaves (training() refreshes nn_ix
+            # after every resume, so a zero fill is safe)
+            restored = _merge_raw_checkpoint(
+                ckptr.restore(os.path.abspath(path)), item)
+            print(f"[gsavatar] checkpoint {path}: structure predates the "
+                  f"current TrainState — missing fields zero-filled "
+                  f"(lenient restore)", flush=True)
         state = TrainState(
             gauss_params=restored['gauss_params'],
             gauss_aux=restored['gauss_aux'],
@@ -297,3 +314,41 @@ class Scene:
             conv_params=restored['conv_params'],
             conv_opt=restored['conv_opt'], rng=restored['rng'])
         return state, int(restored['iteration'])
+
+
+def _merge_raw_checkpoint(raw: dict, template):
+    """Merge an orbax RAW restore (nested string-keyed dicts) onto a
+    template pytree (dataclasses / namedtuples / dicts of
+    ShapeDtypeStructs), looking each template leaf up by its key path and
+    zero-filling leaves the checkpoint does not contain. Lets old
+    checkpoints load after TrainState grows a field."""
+    from jax.tree_util import (DictKey, FlattenedIndexKey, GetAttrKey,
+                               SequenceKey, tree_flatten_with_path,
+                               tree_unflatten)
+
+    def key_str(k):
+        if isinstance(k, GetAttrKey):
+            return k.name
+        if isinstance(k, DictKey):
+            return str(k.key)
+        if isinstance(k, SequenceKey):
+            return str(k.idx)
+        if isinstance(k, FlattenedIndexKey):
+            return str(k.key)
+        return str(k)
+
+    leaves, treedef = tree_flatten_with_path(template)
+    out = []
+    for path, leaf in leaves:
+        node = raw
+        for k in path:
+            if not isinstance(node, dict) or key_str(k) not in node:
+                node = None
+                break
+            node = node[key_str(k)]
+        if node is None:
+            out.append(jnp.zeros(getattr(leaf, 'shape', ()),
+                                 getattr(leaf, 'dtype', jnp.float32)))
+        else:
+            out.append(jnp.asarray(node))
+    return tree_unflatten(treedef, out)

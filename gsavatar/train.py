@@ -255,7 +255,7 @@ def make_validation(scene: Scene):
     All metrics run full-image under one jit (fixed shapes); LPIPS uses the
     best-available weights (ops/lpips.py)."""
     from gsavatar.ops import lpips as lpips_mod
-    use_lpips = lpips_mod.available()
+    lpips_key = lpips_mod.metric_key('vgg')
 
     @functools.partial(jax.jit,
                        static_argnames=('active_sh_degree', 'bucket'))
@@ -272,8 +272,10 @@ def make_validation(scene: Scene):
         gt = jnp.clip(camera.image, 0.0, 1.0)
         out = {'l1_loss': L.l1_loss(img, gt), 'psnr': L.psnr(img, gt),
                'ssim': ssim(img, gt)}
-        if use_lpips:
-            out['lpips'] = lpips_mod.lpips(img, gt)
+        if lpips_key is not None:
+            # keyed by weight source: 'lpips' only for exported pretrained
+            # weights, 'lpips_rand' for the documented random fallback
+            out[lpips_key] = lpips_mod.lpips(img, gt)
         return out, img
 
     @jax.jit
@@ -358,6 +360,11 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
         'exp', str(cfg.get('name', 'run')))
     os.makedirs(exp_dir, exist_ok=True)
     logger = MetricLogger(os.path.join(exp_dir, 'metrics.jsonl'))
+    # record which LPIPS weight source shapes this run (exported pretrained
+    # vs the documented random fallback vs off) — ADVICE r2: a run trained
+    # with random-VGG perceptual loss must be distinguishable in the logs
+    from gsavatar.ops import lpips as lpips_mod
+    logger.log(0, {'lpips_weights': lpips_mod.weights_kind() or 'off'})
 
     train_step = make_train_step(scene)
     densify_step, opacity_reset_step, refresh_knn = make_densify_step(scene)
@@ -370,6 +377,10 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
     # capacity until the next densify restores the invariant
     bucket = scene.bucket_for(n_alive) if alive_np[:n_alive].all() \
         else scene.capacity
+    if start_checkpoint:
+        # rebuild the cached AIAP neighbors after any resume: lenient
+        # restores zero-fill nn_ix when the checkpoint predates the field
+        state = refresh_knn(state, bucket=bucket)
 
     checkpoint_iterations = list(cfg.get('checkpoint_iterations', []) or [])
     checkpoint_iterations.append(iterations)  # train.py:306

@@ -1,0 +1,308 @@
+"""Execute the real-data loaders end to end (VERDICT r2 Missing #2): write a
+tiny on-disk dataset in each on-disk format the reference consumes
+(ZJU-MoCap layout: cam_params.json + per-view jpg/png + models/*.npz,
+/root/reference/dataset/zjumocap.py:244-437; PeopleSnapshot layout:
+camera.pkl + image/ + mask/ + animnerf_models/,
+/root/reference/dataset/people_snapshot.py:30-142), construct the dataset
+classes for every split, build cameras through the full
+undistort/resize/K-rescale/02v recipe, and run real train steps on top."""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gsavatar.config import load_config
+from gsavatar.smpl.body_model import synthetic_assets
+
+RAW = 1024          # matches ZJUMoCapDataset.RAW_HW
+N_FRAMES = 3
+
+
+def _frame_smpl(assets, pose):
+    """bone_transforms for one posed frame (same recipe the synthetic
+    dataset uses — smpl/lbs.py)."""
+    from gsavatar.smpl import lbs as smpl_lbs
+    res = smpl_lbs.lbs(
+        jnp.zeros((1, 10)), jnp.asarray(pose)[None],
+        jnp.asarray(assets.v_template)[None], jnp.asarray(assets.shapedirs),
+        jnp.asarray(assets.posedirs), jnp.asarray(assets.J_regressor),
+        assets.parents, jnp.asarray(assets.skinning_weights))
+    A = np.asarray(res[3][0]).astype(np.float32)
+    return {
+        'bone_transforms': A,
+        'trans': np.zeros(3, np.float32),
+        'root_orient': pose[:3],
+        'pose_body': pose[3:66],
+        'pose_hand': pose[66:72],
+    }
+
+
+def _poses(n):
+    rng = np.random.default_rng(3)
+    out = []
+    for _ in range(n):
+        p = (0.1 * rng.standard_normal(72)).astype(np.float32)
+        p[:3] = 0.0
+        out.append(p)
+    return out
+
+
+def _write_frame_images(path_jpg, path_png, seed):
+    import cv2
+    rng = np.random.default_rng(seed)
+    img = (rng.random((RAW, RAW, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((RAW, RAW), np.uint8)
+    cv2.circle(mask, (RAW // 2, RAW // 2), RAW // 4, 255, -1)
+    cv2.imwrite(str(path_jpg), img)
+    cv2.imwrite(str(path_png), mask)
+
+
+@pytest.fixture(scope="module")
+def assets():
+    # must match the find_assets fallback the loaders hit when no
+    # body_models dir exists (n_verts=6890, seed=0, gender-specific)
+    return synthetic_assets(n_verts=6890, seed=0)
+
+
+@pytest.fixture(scope="module")
+def zju_root(tmp_path_factory, assets):
+    root = tmp_path_factory.mktemp("zju")
+    subj = root / "S1"
+    models = subj / "models"
+    models.mkdir(parents=True)
+    poses = _poses(N_FRAMES)
+    for f, pose in enumerate(poses):
+        np.savez(models / f"{f:06d}.npz",
+                 minimal_shape=assets.v_template.astype(np.float32),
+                 betas=np.zeros(10, np.float32), **_frame_smpl(assets, pose))
+    # OOD predict sequence (reference zjumocap.py:104-129)
+    seq = subj / "canonical_pose_view1"
+    seq.mkdir()
+    np.savez(seq / "000000.npz",
+             minimal_shape=assets.v_template.astype(np.float32),
+             betas=np.zeros(10, np.float32),
+             **_frame_smpl(assets, np.zeros(72, np.float32)))
+    cam_params = {}
+    for i, cam in enumerate(("1", "2", "5")):
+        d = subj / cam
+        d.mkdir()
+        for f in range(N_FRAMES):
+            _write_frame_images(d / f"{f:06d}.jpg", d / f"{f:06d}.png",
+                                seed=i * 10 + f)
+        ang = 2 * np.pi * i / 8
+        R = np.array([[np.cos(ang), 0, np.sin(ang)],
+                      [0, 1, 0],
+                      [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+        cam_params[cam] = {
+            "K": [[1100.0, 0.0, 500.0], [0.0, 1100.0, 520.0],
+                  [0.0, 0.0, 1.0]],
+            "D": [1e-3, 0.0, 0.0, 0.0, 0.0],
+            "R": R.tolist(),
+            "T": [[0.0], [0.0], [2.5]],
+        }
+    with open(subj / "cam_params.json", "w") as fp:
+        json.dump(cam_params, fp)
+    return root
+
+
+@pytest.fixture(scope="module")
+def ps_root(tmp_path_factory):
+    # gender comes from the subject name ('female-...' -> female assets)
+    ps_assets = synthetic_assets(n_verts=6890, seed=0, gender='female')
+    root = tmp_path_factory.mktemp("ps")
+    subj = root / "female-9-test"
+    (subj / "animnerf_models").mkdir(parents=True)
+    (subj / "image").mkdir()
+    (subj / "mask").mkdir()
+    (subj / "rotating_models").mkdir()
+    poses = _poses(N_FRAMES)
+    for f, pose in enumerate(poses):
+        np.savez(subj / "animnerf_models" / f"{f:06d}.npz",
+                 minimal_shape=ps_assets.v_template.astype(np.float32),
+                 betas=np.zeros(10, np.float32),
+                 **_frame_smpl(ps_assets, pose))
+        _write_frame_images(subj / "image" / f"{f:06d}.jpg",
+                            subj / "mask" / f"{f:06d}.png", seed=f)
+    np.savez(subj / "rotating_models" / "000000.npz",
+             minimal_shape=ps_assets.v_template.astype(np.float32),
+             betas=np.zeros(10, np.float32),
+             **_frame_smpl(ps_assets, np.zeros(72, np.float32)))
+    with open(subj / "camera.pkl", "wb") as fp:
+        pickle.dump({"camera_f": [1100.0, 1100.0],
+                     "camera_c": [500.0, 520.0],
+                     "camera_k": np.zeros(5, np.float32),
+                     "height": RAW, "width": RAW}, fp)
+    return root
+
+
+def _shape_overrides():
+    """Identical arena/raster shapes for both datasets so the jitted train
+    step compiles once per pytest process."""
+    return [
+        "dataset.img_hw=[64,64]",
+        "dataset.n_points=768",
+        "model.gaussian.capacity=1024",
+        "model.gaussian.delay=0",
+        "rasterizer.max_pairs=65536",
+        "rasterizer.per_tile_capacity=1024",
+        "rasterizer.chunk=32",
+        "opt.skinning_pool_size=2048",
+        "opt.n_reg_pts=128",
+    ]
+
+
+def _zju_cfg(zju_root, **kv):
+    ov = [
+        "dataset=zjumocap_377_mono",
+        f"dataset.root_dir={zju_root}",
+        "dataset.subject=S1",
+        "dataset.train_views=['1','2']",
+        "dataset.val_views=['5']",
+        "dataset.predict_views=['1']",
+        f"dataset.train_frames=[0,{N_FRAMES},1]",
+        "dataset.val_frames=[0,1,1]",
+        f"dataset.test_frames.view=[0,{N_FRAMES},2]",
+        "dataset.predict_seq=3",
+    ] + _shape_overrides() + [f"{k}={v}" for k, v in kv.items()]
+    return load_config(overrides=ov)
+
+
+class TestZJUMoCapDataset:
+    def test_all_splits_build_cameras(self, zju_root):
+        from gsavatar.data.zjumocap import ZJUMoCapDataset
+        cfg = _zju_cfg(zju_root)
+        train = ZJUMoCapDataset(cfg.dataset, 'train')
+        assert len(train) == 2 * N_FRAMES  # 2 views x 3 frames
+        assert train.metadata['frame_dict'] == {0: 0, 1: 1, 2: 2}
+        cam = train[0]
+        assert cam.image.shape == (64, 64, 3)
+        assert cam.mask.shape == (64, 64)
+        assert 0.0 < float(np.asarray(cam.mask).mean()) < 1.0
+        assert cam.bone_transforms.shape == (24, 4, 4)
+        assert np.isfinite(np.asarray(cam.full_proj_transform)).all()
+        # background zeroed outside the mask
+        img = np.asarray(cam.image)
+        msk = np.asarray(cam.mask) > 0
+        assert img[~msk].max() == 0.0
+
+        val = ZJUMoCapDataset(cfg.dataset, 'val')
+        assert len(val) == 1 and val[0].image.shape == (64, 64, 3)
+
+        test = ZJUMoCapDataset(cfg.dataset, 'test')
+        assert len(test) == 2  # frames 0, 2 on one view
+
+        predict = ZJUMoCapDataset(cfg.dataset, 'predict')
+        assert len(predict) == 1
+        pcam = predict[0]
+        assert pcam.frame_id < 0  # OOD frames use negative ids
+        assert float(pcam.in_frame_dict) == 0.0
+
+    def test_freeview_orbit(self, zju_root):
+        from gsavatar.data.zjumocap import ZJUMoCapDataset
+        cfg = _zju_cfg(zju_root, **{"dataset.freeview": True})
+        ds = ZJUMoCapDataset(cfg.dataset, 'test')
+        assert len(ds) > 2
+        # records are camera-major (orbit cam x frames); step past the
+        # frames of orbit camera '0' to reach orbit camera '1'
+        n_frames_per_cam = 2
+        c0, c1 = ds[0], ds[n_frames_per_cam]
+        assert not np.allclose(np.asarray(c0.camera_center),
+                               np.asarray(c1.camera_center))
+
+    def test_point_cloud_cached_as_ply(self, zju_root):
+        from gsavatar.data.zjumocap import ZJUMoCapDataset
+        cfg = _zju_cfg(zju_root)
+        ds = ZJUMoCapDataset(cfg.dataset, 'train')
+        pts, rgb = ds.readPointCloud()
+        assert pts.shape == (768, 3)
+        assert os.path.exists(os.path.join(str(zju_root), 'S1',
+                                           'cano_smpl.ply'))
+        pts2, _ = ds.readPointCloud()  # second call reads the ply cache
+        np.testing.assert_allclose(pts, pts2, atol=1e-6)
+
+    def test_three_train_steps(self, zju_root):
+        from gsavatar.scene import Scene
+        from gsavatar.train import make_train_step, loss_weights
+        cfg = _zju_cfg(zju_root)
+        scene = Scene(cfg, seed=0)
+        state = scene.init_state()
+        step = make_train_step(scene)
+        w = loss_weights(cfg, 1)
+        w['_in_densify_window'] = 0.0
+        for it in range(1, 4):
+            cam = scene.device_camera((it - 1) % len(scene.train_dataset),
+                                      'train')
+            state, metrics = step(state, cam, jnp.int32(it), w, 1e-3,
+                                  active_sh_degree=0)
+            assert np.isfinite(float(metrics['loss/total_loss']))
+
+
+class TestPeopleSnapshotDataset:
+    def _cfg(self, ps_root, **kv):
+        ov = [
+            "dataset=ps_female_3",
+            f"dataset.root_dir={ps_root}",
+            "dataset.subject=female-9-test",
+            f"dataset.train_frames=[0,{N_FRAMES},1]",
+            f"dataset.val_frames=[0,1,1]",
+            f"dataset.test_frames.pose=[0,{N_FRAMES},2]",
+            "dataset.test_mode=pose",
+            "dataset.predict_frames=[0,0,1]",
+        ] + _shape_overrides() + [f"{k}={v}" for k, v in kv.items()]
+        return load_config(overrides=ov)
+
+    def test_all_splits_build_cameras(self, ps_root):
+        from gsavatar.data.people_snapshot import PeopleSnapshotDataset
+        cfg = self._cfg(ps_root)
+        train = PeopleSnapshotDataset(cfg.dataset, 'train')
+        assert len(train) == N_FRAMES
+        assert train.metadata['gender'] == 'female'
+        cam = train[0]
+        assert cam.image.shape == (64, 64, 3)
+        assert np.isfinite(np.asarray(cam.full_proj_transform)).all()
+
+        val = PeopleSnapshotDataset(cfg.dataset, 'val')
+        assert len(val) == 1
+
+        test = PeopleSnapshotDataset(cfg.dataset, 'test')
+        assert len(test) == 2
+
+        predict = PeopleSnapshotDataset(cfg.dataset, 'predict')
+        assert len(predict) == 1 and predict[0].frame_id < 0
+
+    @pytest.mark.slow  # identical jitted step as the ZJU test above
+    def test_three_train_steps(self, ps_root):
+        from gsavatar.scene import Scene
+        from gsavatar.train import make_train_step, loss_weights
+        cfg = self._cfg(ps_root)
+        scene = Scene(cfg, seed=0)
+        state = scene.init_state()
+        step = make_train_step(scene)
+        w = loss_weights(cfg, 1)
+        w['_in_densify_window'] = 0.0
+        for it in range(1, 4):
+            cam = scene.device_camera((it - 1) % len(scene.train_dataset),
+                                      'train')
+            state, metrics = step(state, cam, jnp.int32(it), w, 1e-3,
+                                  active_sh_degree=0)
+            assert np.isfinite(float(metrics['loss/total_loss']))
+
+
+class TestMyDataset:
+    def test_constructs_on_zju_layout(self, zju_root):
+        # MyDataset = ZJU recipe at video raw size; reuse the ZJU fixture
+        # with RAW_HW patched to the fixture's raw size
+        from gsavatar.data.mydataset import MyDataset
+        cfg = _zju_cfg(zju_root)
+        old = MyDataset.RAW_HW
+        try:
+            MyDataset.RAW_HW = (RAW, RAW)
+            ds = MyDataset(cfg.dataset, 'train')
+            assert len(ds) == 2 * N_FRAMES
+            assert ds[0].image.shape == (64, 64, 3)
+        finally:
+            MyDataset.RAW_HW = old

@@ -157,7 +157,11 @@ class TestTrainingLoop:
         row = val_rows[-1]
         assert 'val/test_psnr' in row and np.isfinite(row['val/test_psnr'])
         assert 'val/total_points' in row
-        assert 'val/test_lpips' in row  # random-VGG fallback keeps LPIPS live
+        # random-VGG fallback keeps LPIPS live, keyed as lpips_rand so the
+        # values are never mistaken for pretrained-LPIPS numbers
+        assert 'val/test_lpips_rand' in row
+        head = [l for l in lines if 'lpips_weights' in l]
+        assert head and head[0]['lpips_weights'] == 'random'
         assert (tmp_path / "exp" / "ckpt4").exists()
         assert (tmp_path / "exp" / "ckpt6").exists()
 
@@ -173,6 +177,39 @@ class TestTrainingLoop:
         assert (tmp_path / "exp2" / "ckpt8").exists()
 
 
+class TestLenientRestore:
+    def test_checkpoint_missing_aux_field_loads(self, scene_state, tmp_path):
+        """Checkpoints written before GaussianAux gained nn_ix must still
+        resume (ADVICE r2): the strict template restore fails, the lenient
+        path zero-fills the missing leaf, and training() refreshes the
+        neighbors after resume."""
+        import dataclasses
+        import orbax.checkpoint as ocp
+        cfg, scene, state = scene_state
+        aux_old = {f.name: getattr(state.gauss_aux, f.name)
+                   for f in dataclasses.fields(state.gauss_aux)
+                   if f.name != 'nn_ix'}
+        path = str(tmp_path / "old_ckpt")
+        ocp.PyTreeCheckpointer().save(path, {
+            'gauss_params': state.gauss_params, 'gauss_aux': aux_old,
+            'gauss_adam': state.gauss_adam,
+            'conv_params': state.conv_params,
+            'conv_opt': state.conv_opt, 'rng': state.rng, 'iteration': 7,
+        }, force=True)
+        restored, it = scene.load_checkpoint(path)
+        assert it == 7
+        assert restored.gauss_aux.nn_ix.shape == state.gauss_aux.nn_ix.shape
+        assert int(jnp.sum(jnp.abs(restored.gauss_aux.nn_ix))) == 0
+        np.testing.assert_allclose(
+            np.asarray(restored.gauss_params.xyz),
+            np.asarray(state.gauss_params.xyz))
+        # optimizer state survives the lenient path too
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(restored.conv_opt)[0]),
+            np.asarray(jax.tree.leaves(state.conv_opt)[0]))
+
+
+@pytest.mark.slow
 class TestVariants:
     @pytest.mark.parametrize("ov", [
         {"texture": "sh", "non_rigid": "identity", "rigid": "identity",
