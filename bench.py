@@ -156,6 +156,15 @@ def main():
     dt = (time.time() - t0) / iters
 
     # ---- inference-render FPS (eval path, no grads) ----------------------
+    # canonical positions are frozen at eval: the hash-grid encoding is
+    # precomputed once per avatar (evaluate.py does the same)
+    from gsavatar.models.converter import compute_nr_cache
+    gview0 = G.make_view(state.gauss_params, state.gauss_aux,
+                         active_sh_degree=0,
+                         max_sh_degree=scene.max_sh_degree,
+                         use_sh=scene.use_sh, bucket=bucket)
+    nr_cache = compute_nr_cache(scene.converter, state.conv_params, gview0)
+
     @jax.jit
     def render_one(st, camera):
         gview = G.make_view(st.gauss_params, st.gauss_aux,
@@ -164,7 +173,7 @@ def main():
                             use_sh=scene.use_sh, bucket=bucket)
         pkg = render(scene.converter, st.conv_params, gview, camera,
                      jnp.int32(10 ** 9), scene.raster_config,
-                     scene.background)
+                     scene.background, nr_cache=nr_cache)
         return pkg.render
 
     jax.block_until_ready(render_one(state, cameras[0]))

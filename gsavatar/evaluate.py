@@ -52,6 +52,15 @@ def evaluate(cfg, scene: Scene, state: TrainState, iteration: int,
     bucket = scene.bucket_for(n_alive) if alive_np[:n_alive].all() \
         else 0
 
+    # canonical positions are frozen during eval: precompute the hash-grid
+    # encoding once and skip the per-frame table gathers (PERF.md)
+    from gsavatar.models.converter import compute_nr_cache
+    gview0 = G.make_view(state.gauss_params, state.gauss_aux,
+                         active_sh_degree=deg,
+                         max_sh_degree=scene.max_sh_degree,
+                         use_sh=scene.use_sh, bucket=bucket)
+    nr_cache = compute_nr_cache(scene.converter, state.conv_params, gview0)
+
     @jax.jit
     def render_one(st, camera):
         gview = G.make_view(st.gauss_params, st.gauss_aux,
@@ -59,7 +68,8 @@ def evaluate(cfg, scene: Scene, state: TrainState, iteration: int,
                             max_sh_degree=scene.max_sh_degree,
                             use_sh=scene.use_sh, bucket=bucket)
         pkg = render(scene.converter, st.conv_params, gview, camera,
-                     iteration, scene.raster_config, scene.background)
+                     iteration, scene.raster_config, scene.background,
+                     nr_cache=nr_cache)
         return jnp.clip(pkg.render, 0.0, 1.0), pkg.opacity_render
 
     times = []

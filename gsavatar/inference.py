@@ -119,6 +119,13 @@ class InferenceScene:
                             else 0,
                             max_sh_degree=self.max_sh_degree,
                             use_sh=self.use_sh)
+        if not hasattr(self, '_nr_cache'):
+            # canonical positions are frozen at inference: precompute the
+            # hash-grid encoding once (models/converter.compute_nr_cache)
+            from gsavatar.models.converter import compute_nr_cache
+            self._nr_cache = compute_nr_cache(self.converter,
+                                              self.conv_params, gview)
         pkg = render(self.converter, self.conv_params, gview, camera,
-                     jnp.int32(it), self.raster_config, self.background)
+                     jnp.int32(it), self.raster_config, self.background,
+                     nr_cache=self._nr_cache)
         return pkg

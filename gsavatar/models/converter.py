@@ -30,7 +30,8 @@ class GaussianConverter(nn.Module):
     view_noise: float = 0.0
 
     def __call__(self, gaussians: Gaussians, camera, iteration, *,
-                 train: bool = False, rng: Optional[jax.Array] = None):
+                 train: bool = False, rng: Optional[jax.Array] = None,
+                 nr_cache=None):
         loss_reg = {}
         camera, loss_pose = self.pose_correction(camera, iteration)
         loss_reg.update(loss_pose)
@@ -49,7 +50,8 @@ class GaussianConverter(nn.Module):
                     self.view_noise).T
 
         deformed, loss_nr = self.non_rigid(gaussians, camera, iteration,
-                                           camera.latent_idx)
+                                           camera.latent_idx,
+                                           nr_cache=nr_cache)
         loss_reg.update(loss_nr)
         deformed = self.rigid(deformed, camera, iteration)
 
@@ -63,6 +65,23 @@ class GaussianConverter(nn.Module):
         if hasattr(self.rigid, 'skinning_loss'):
             return self.rigid.skinning_loss(pts_norm, gt_weights)
         return jnp.zeros(())
+
+
+def compute_nr_cache(converter: GaussianConverter, conv_params, gaussians):
+    """Precompute the pose-independent part of the non-rigid deformer: the
+    hash grid encodes CANONICAL gaussian positions, which are frozen outside
+    training — so at eval time the encoding is constant across frames and
+    the per-frame render can skip the multi-million-row table gathers that
+    dominate inference cost (PERF.md). Returns (N, L*F) for the hashgrid
+    variant, None otherwise (other variants have no cacheable stage)."""
+    from .non_rigid import HashGridNonRigid, make_hashgrid
+    nr = converter.non_rigid
+    if not isinstance(nr, HashGridNonRigid):
+        return None
+    xyz_norm = nr.aabb.normalize(gaussians.get_xyz, sym=True)
+    params = conv_params['params']['non_rigid']['hashgrid']
+    return make_hashgrid(nr.hashgrid_cfg, name=None).apply(
+        {'params': params}, xyz_norm)
 
 
 def build_converter(cfg, metadata, assets=None) -> GaussianConverter:

@@ -80,7 +80,7 @@ class IdentityNonRigid(nn.Module):
     feature_dim: int = 0
 
     def __call__(self, gaussians: Gaussians, camera, iteration,
-                 latent_idx=None):
+                 latent_idx, nr_cache=None):
         if self.feature_dim > 0:
             n = gaussians.params.xyz.shape[0]
             gaussians = gaussians.replace(
@@ -133,7 +133,8 @@ class MLPNonRigid(_CondDeformBase):
     mlp_cfg: dict = None
 
     @nn.compact
-    def __call__(self, gaussians: Gaussians, camera, iteration, latent_idx):
+    def __call__(self, gaussians: Gaussians, camera, iteration, latent_idx,
+                 nr_cache=None):
         pose_feat = self._pose_feat(camera, latent_idx)
         xyz_norm = self.aabb.normalize(gaussians.get_xyz, sym=True)
         cfg = self.mlp_cfg
@@ -150,23 +151,40 @@ class MLPNonRigid(_CondDeformBase):
         return self._finish(gaussians, deltas, iteration)
 
 
+def make_hashgrid(hg: dict, name='hashgrid') -> HashGrid:
+    """Module-level factory: also used with name=None OUTSIDE any module
+    scope by the eval-time encoding cache, which applies the grid directly
+    on the 'hashgrid' param subtree (models/converter.compute_nr_cache)."""
+    return HashGrid(
+        n_levels=hg.get('n_levels', 16),
+        n_features_per_level=hg.get('n_features_per_level', 2),
+        log2_hashmap_size=hg.get('log2_hashmap_size', 16),
+        base_resolution=hg.get('base_resolution', 16),
+        max_resolution=hg.get('max_resolution', 2048),
+        per_level_scale=hg.get('per_level_scale', 0.0),
+        name=name)
+
+
 class HashGridNonRigid(_CondDeformBase):
     mlp_cfg: dict = None
     hashgrid_cfg: dict = None
 
     @nn.compact
-    def __call__(self, gaussians: Gaussians, camera, iteration, latent_idx):
+    def __call__(self, gaussians: Gaussians, camera, iteration, latent_idx,
+                 nr_cache=None):
         pose_feat = self._pose_feat(camera, latent_idx)
-        xyz_norm = self.aabb.normalize(gaussians.get_xyz, sym=True)
-        hg = self.hashgrid_cfg
-        feature = HashGrid(
-            n_levels=hg.get('n_levels', 16),
-            n_features_per_level=hg.get('n_features_per_level', 2),
-            log2_hashmap_size=hg.get('log2_hashmap_size', 16),
-            base_resolution=hg.get('base_resolution', 16),
-            max_resolution=hg.get('max_resolution', 2048),
-            per_level_scale=hg.get('per_level_scale', 0.0),
-            name="hashgrid")(xyz_norm)
+        if nr_cache is not None:
+            # eval fast path: the grid encodes CANONICAL positions, which
+            # are frozen outside training — the caller precomputes the
+            # encoding once per avatar (models/converter.compute_nr_cache)
+            # and the per-frame render skips the 7M-row table gathers that
+            # dominate inference time. NOTE: the hashgrid submodule is not
+            # constructed on this path, so it must never be taken under
+            # module init.
+            feature = nr_cache
+        else:
+            xyz_norm = self.aabb.normalize(gaussians.get_xyz, sym=True)
+            feature = make_hashgrid(self.hashgrid_cfg)(xyz_norm)
         cfg = self.mlp_cfg
         d_out = 10 + self.feature_dim
         deltas = VanillaCondMLP(
@@ -189,7 +207,8 @@ class HannwMLPNonRigid(_CondDeformBase):
     full_band_iter: int = 10000
 
     @nn.compact
-    def __call__(self, gaussians: Gaussians, camera, iteration, latent_idx):
+    def __call__(self, gaussians: Gaussians, camera, iteration, latent_idx,
+                 nr_cache=None):
         pose_feat = self._pose_feat(camera, latent_idx)
         xyz_norm = self.aabb.normalize(gaussians.get_xyz, sym=True)
         cfg = self.mlp_cfg

@@ -388,11 +388,12 @@ def make_composite_pairs(num_tiles: int, grid_x: int, chunk: int = 64,
             num_tiles=num_tiles, grid_x=grid_x, chunk=chunk,
             interpret=interpret)
         # rows past the last real tile range (sentinel/padding pairs) are
-        # never written by the kernel — zero them before they reach the
-        # gather transpose
-        n_valid = tile_start[num_tiles]
-        row = jnp.arange(grads.shape[0], dtype=jnp.int32)[:, None]
-        grads = jnp.where(row < n_valid, grads, 0.0)
+        # never written by the kernel — they carry uninitialized memory,
+        # but their pair_gauss ids are the drop sentinel, and the segment
+        # sum (ops/segsum.py) both drops those ids AND zero-masks values
+        # past the valid tail before its matmul, so no full-array mask
+        # pass is needed here (it cost ~6 ms/step on the 1 GB padded
+        # gradient buffer).
         return grads, None
 
     f.defvjp(f_fwd, f_bwd)

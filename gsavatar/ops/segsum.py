@@ -41,10 +41,13 @@ def segment_sum_sorted(values, seg_ids, num_segments: int):
     num_segments act as dropped). Returns (num_segments, C)."""
     backend = _backend()
     if backend.startswith('pallas'):
-        from gsavatar.ops.segsum_pallas import segment_sum_sorted_blocked
-        return segment_sum_sorted_blocked(
-            values, seg_ids, num_segments,
+        from gsavatar.ops.segsum_pallas import segment_sum_sorted_blocked_t
+        return segment_sum_sorted_blocked_t(
+            values.T, seg_ids, num_segments,
             interpret=backend.endswith('interpret'))
+    # rows with dropped ids may carry garbage (uninitialized pair-gradient
+    # tails); zero them so they cannot poison the running cumsum
+    values = jnp.where((seg_ids < num_segments)[:, None], values, 0.0)
     c = jnp.cumsum(values, axis=0)                      # (M, C)
     # end[t] = number of elements with id <= t  (index of segment end + 1)
     end = jnp.searchsorted(seg_ids,
@@ -62,12 +65,25 @@ def segment_sum(values, seg_ids, num_segments: int):
     """Unsorted variant. The value columns ride the sort as extra operands
     (one fused multi-operand lax.sort) instead of a sort-permutation
     followed by a multi-million-row gather — the gather costs more than the
-    wider sort at every hot shape (55 ms vs ~10 ms at 2M x 12)."""
-    cols = [values[:, i] for i in range(values.shape[1])]
+    wider sort at every hot shape (55 ms vs ~10 ms at 2M x 12).
+
+    Everything stays COLUMNAR around the sort: values.T is one relayout
+    pass and its row slices are contiguous, whereas slicing columns out of
+    the row-major (M, C) array re-reads the whole lane-padded (M, 128)
+    buffer once per column (measured 10x ~4 ms/step at the 2M pair
+    shape)."""
+    vals_t = values.T                                   # (C, M)
+    cols = [vals_t[i] for i in range(vals_t.shape[0])]
     out = jax.lax.sort((seg_ids, *cols), num_keys=1)
     sids = out[0]
-    vals_sorted = jnp.stack(out[1:], axis=1)
-    return segment_sum_sorted(vals_sorted, sids, num_segments)
+    backend = _backend()
+    if backend.startswith('pallas'):
+        from gsavatar.ops.segsum_pallas import segment_sum_sorted_blocked_t
+        return segment_sum_sorted_blocked_t(
+            jnp.stack(out[1:], axis=0), sids, num_segments,
+            interpret=backend.endswith('interpret'))
+    return segment_sum_sorted(jnp.stack(out[1:], axis=1), sids,
+                              num_segments)
 
 
 def make_gather_with_fast_transpose():

@@ -18,16 +18,21 @@ index lives on sublanes), and reduces with ONE MXU matmul per chunk:
 
     acc(C, SB) += V(C, CHUNK) @ onehot(SB, CHUNK)^T
 
-Per-element cost ~0.5 VPU compare-rows + ~2C MXU MACs: ~2-5 ms for the
+Per-element cost ~0.5 VPU compare-rows + ~2C MXU MACs: a few ms for the
 7.34M-element hash-grid backward vs ~300 ms for the XLA formulation.
 Block-local f32 matmul accumulation is also *more* precise than the
 cumsum-difference trick (no running-sum cancellation — ADVICE.md r2).
 
-Data layout: everything rides lanes. values arrive (M, C) — XLA keeps
-narrow arrays column-major, so values.T is a free bitcast — and are packed
-with the f32-cast ids into one (C+1, M_pad) array row 0 = ids. The output
-is built as (C, S_pad) and transposed back at zero cost for the same
-reason. f32 holds ids exactly below 2^24; asserted.
+Data layout: everything rides lanes, COLUMNAR end to end. Values arrive
+(C, M) — the sort in segsum.segment_sum emits per-column arrays that stack
+columnar for free — and the output is built (C, S_pad) then transposed back
+(XLA keeps narrow arrays column-major, so that transpose is a free
+bitcast). f32 holds ids exactly below 2^24; asserted.
+
+Values in the trailing lane-chunk past each block's span are masked to
+zero before the matmul: they are either neighbors (one-hot misses them
+anyway) or, at the global tail, uninitialized pair-gradient rows whose
+NaN/Inf bit patterns would otherwise poison the 0*NaN matmul products.
 """
 from __future__ import annotations
 
@@ -38,8 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SEG_BLOCK = 512   # output segment rows per kernel program
-CHUNK = 512       # elements per DMA chunk (lane-aligned)
+SEG_BLOCK = 512    # output segment rows per kernel program
+CHUNK = 1024       # elements per DMA chunk (lane-aligned)
 
 
 def _kernel(starts_ref, ids_hbm, vals_hbm, out_ref, ibuf, vbuf, isem, vsem,
@@ -71,6 +76,7 @@ def _kernel(starts_ref, ids_hbm, vals_hbm, out_ref, ibuf, vbuf, isem, vsem,
     # integer-exact f32 below 2^24)
     iota_b = jax.lax.broadcasted_iota(
         jnp.int32, (seg_block, chunk), 0).astype(jnp.float32)
+    iota_e = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def body(i, acc):
         slot = i % 2
@@ -86,12 +92,28 @@ def _kernel(starts_ref, ids_hbm, vals_hbm, out_ref, ibuf, vbuf, isem, vsem,
         # elements outside [s0, s1) that share a boundary chunk belong to
         # neighboring blocks: their ids fall outside [base, base+SB) by
         # construction (sorted ids + searchsorted spans), so the one-hot
-        # misses them — no explicit span mask needed.
+        # misses them. Their VALUES must still be zeroed: past the global
+        # valid range they can be uninitialized memory whose NaNs survive
+        # multiplication by a zero one-hot.
+        in_span = (c0 + i) * chunk + iota_e < s1          # (1, CHUNK)
+        vals = jnp.where(in_span, vbuf[slot], 0.0)        # (C, CHUNK)
         onehot = (iota_b == rel).astype(jnp.float32)      # (SB, CHUNK)
-        return acc + jax.lax.dot_general(
-            vbuf[slot], onehot, dimension_numbers=(((1,), (1,)), ((), ())),
+        # manual hi/lo split: ONE bf16 MXU pass (precision DEFAULT rounds
+        # the f32 operands to bf16 in-flight — exact for the one-hot and
+        # for the pre-rounded hi/lo parts) instead of HIGHEST's 6. hi and
+        # lo ride as extra sublane rows of the same matmul — the narrow C
+        # dim wastes most of the 128-row MXU tile anyway, so doubling rows
+        # is free while pass count dominates kernel time. Error ~2^-18
+        # relative — well below the f32 sums being reduced. (Operands stay
+        # f32: Mosaic rejects explicit-bf16 NT matmuls at some shapes.)
+        vhi = vals.astype(jnp.bfloat16).astype(jnp.float32)
+        vlo = vals - vhi
+        both = jnp.concatenate([vhi, vlo], axis=0)        # (2C, CHUNK)
+        out = jax.lax.dot_general(
+            both, onehot, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # (C, SB)
+            precision=jax.lax.Precision.DEFAULT)          # (2C, SB)
+        return acc + out[:n_cols] + out[n_cols:]
 
     acc = jax.lax.fori_loop(
         0, n_chunks, body,
@@ -101,12 +123,12 @@ def _kernel(starts_ref, ids_hbm, vals_hbm, out_ref, ibuf, vbuf, isem, vsem,
 
 @functools.partial(jax.jit,
                    static_argnames=('num_segments', 'interpret'))
-def segment_sum_sorted_blocked(values, seg_ids, num_segments: int,
-                               interpret: bool = False):
-    """values (M, C) f32, seg_ids (M,) int32 SORTED ascending. ids in
-    [num_segments, 2^24) are dropped (summed into padding rows that are
-    sliced away). Returns (num_segments, C) f32."""
-    M, C = values.shape
+def segment_sum_sorted_blocked_t(values_t, seg_ids, num_segments: int,
+                                 interpret: bool = False):
+    """values_t (C, M) f32 columnar, seg_ids (M,) int32 SORTED ascending.
+    ids in [num_segments, 2^24) are dropped (summed into padding rows that
+    are sliced away). Returns (num_segments, C) f32."""
+    C, M = values_t.shape
     NB = (num_segments + SEG_BLOCK - 1) // SEG_BLOCK
     S_pad = NB * SEG_BLOCK
     assert S_pad + SEG_BLOCK < (1 << 24), "ids must stay f32-exact"
@@ -117,7 +139,7 @@ def segment_sum_sorted_blocked(values, seg_ids, num_segments: int,
     ids_f = jnp.pad(jnp.minimum(seg_ids, S_pad).astype(jnp.float32),
                     (0, M_pad - M),
                     constant_values=float(S_pad))[None, :]    # (1, M_pad)
-    vals_t = jnp.pad(values.T, ((0, C_pad - C), (0, M_pad - M)))
+    vals_t = jnp.pad(values_t, ((0, C_pad - C), (0, M_pad - M)))
 
     bounds = jnp.arange(NB + 1, dtype=jnp.int32) * SEG_BLOCK
     starts = jnp.searchsorted(seg_ids, jnp.minimum(bounds, num_segments),
@@ -146,3 +168,10 @@ def segment_sum_sorted_blocked(values, seg_ids, num_segments: int,
         interpret=interpret,
     )(starts, ids_f, vals_t)
     return out_t[:C, :num_segments].T
+
+
+def segment_sum_sorted_blocked(values, seg_ids, num_segments: int,
+                               interpret: bool = False):
+    """Row-major (M, C) convenience wrapper."""
+    return segment_sum_sorted_blocked_t(values.T, seg_ids, num_segments,
+                                        interpret=interpret)

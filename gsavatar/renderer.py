@@ -39,9 +39,10 @@ def render(converter, conv_params, gaussians: Gaussians, camera, iteration,
            raster_config: RasterizeConfig, background,
            *, train: bool = False, rng: Optional[jax.Array] = None,
            scaling_modifier: float = 1.0, means2d_offset=None,
-           override_color=None) -> RenderPackage:
+           override_color=None, nr_cache=None) -> RenderPackage:
     deformed, loss_reg, colors = converter.apply(
-        conv_params, gaussians, camera, iteration, train=train, rng=rng)
+        conv_params, gaussians, camera, iteration, train=train, rng=rng,
+        nr_cache=nr_cache)
 
     if override_color is not None:
         colors = override_color

@@ -28,8 +28,10 @@ class TestBlockedKernelInterpret:
         vals = rng.standard_normal((M, C)).astype(np.float32)
         got = np.asarray(segment_sum_sorted_blocked(
             jnp.asarray(vals), jnp.asarray(ids), S, interpret=True))
+        # tolerance: the kernel's hi/lo bf16 split carries ~2^-18 relative
+        # error per element (segsum_pallas.py) — far below gradient noise
         np.testing.assert_allclose(got, _ref(ids, vals, S),
-                                   rtol=1e-5, atol=1e-5)
+                                   rtol=1e-4, atol=1e-4)
 
 
 class TestXlaFallbackScale:

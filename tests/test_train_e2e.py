@@ -177,6 +177,30 @@ class TestTrainingLoop:
         assert (tmp_path / "exp2" / "ckpt8").exists()
 
 
+class TestNrCache:
+    def test_cached_encoding_matches_uncached_render(self, scene_state):
+        """The eval-time hash-grid encoding cache (canonical positions are
+        frozen at eval) must reproduce the uncached render exactly."""
+        from gsavatar.core import gaussians as G
+        from gsavatar.models.converter import compute_nr_cache
+        from gsavatar.renderer import render
+        cfg, scene, state = scene_state
+        gview = G.make_view(state.gauss_params, state.gauss_aux,
+                            active_sh_degree=0,
+                            max_sh_degree=scene.max_sh_degree,
+                            use_sh=scene.use_sh)
+        cache = compute_nr_cache(scene.converter, state.conv_params, gview)
+        assert cache is not None  # default config uses the hashgrid variant
+        cam = scene.train_dataset[0]
+        it = jnp.int32(10 ** 9)
+        a = render(scene.converter, state.conv_params, gview, cam, it,
+                   scene.raster_config, scene.background)
+        b = render(scene.converter, state.conv_params, gview, cam, it,
+                   scene.raster_config, scene.background, nr_cache=cache)
+        np.testing.assert_allclose(np.asarray(a.render),
+                                   np.asarray(b.render), atol=1e-6)
+
+
 class TestLenientRestore:
     def test_checkpoint_missing_aux_field_loads(self, scene_state, tmp_path):
         """Checkpoints written before GaussianAux gained nn_ix must still
