@@ -11,6 +11,8 @@ and the input positions. The gather of 8 corners per level per point is an
 XLA gather — fine on TPU for the ~50k-point workloads here."""
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 import jax.numpy as jnp
@@ -47,9 +49,14 @@ class HashGrid(nn.Module):
         All (level, corner) table lookups are batched into ONE gather whose
         VJP is the sort-based segment sum (ops/segsum.py): XLA's scatter-add
         transpose of the 16x8xN lookups costs ~168 ms/step on TPU; the
-        scatter-free transpose is ~8x faster. Gradients w.r.t. positions
-        flow through the trilinear weights (outside the custom gather)."""
-        from gsavatar.ops.segsum import gather_rows
+        scatter-free transpose is ~8x faster. The forward gathers from a
+        bfloat16 view of the table (tinycudann's tables are fp16 — the
+        reference runs this encoding in half precision; network_utils.py:329)
+        which trims the dominant gather's bytes; parameters and gradients
+        stay f32. The backward sorts per level (batched) — cheaper than one
+        global sort (ops/segsum.segment_sum_leveled). Gradients w.r.t.
+        positions flow through the trilinear weights (outside the custom
+        gather)."""
         T = 1 << self.log2_hashmap_size
         F = self.n_features_per_level
         L = self.n_levels
@@ -82,13 +89,42 @@ class HashGrid(nn.Module):
                         ^ (cu[:, 1] * jnp.uint32(_PRIMES[1])) \
                         ^ (cu[:, 2] * jnp.uint32(_PRIMES[2]))
                     idx = (idx % jnp.uint32(T)).astype(jnp.int32)
-                idx_all.append(idx + l * T)
+                idx_all.append(idx)                         # per-level ids
                 w_all.append(jnp.prod(
                     jnp.where(off[None, :] == 1, frac, 1.0 - frac), axis=-1))
 
-        idx_cat = jnp.stack(idx_all).reshape(-1)            # (L*8*N,)
+        idx_lvl = jnp.stack(idx_all).reshape(L, 8 * N)      # local ids
         w_cat = jnp.stack(w_all).reshape(L, 8, N, 1)
-        g = gather_rows(table.reshape(L * T, F), idx_cat)
+        g = _hash_gather(table.reshape(L * T, F), idx_lvl, T)
         g = g.reshape(L, 8, N, F)
         feats = jnp.sum(g * w_cat, axis=1)                  # (L, N, F)
         return feats.transpose(1, 0, 2).reshape(N, L * F)
+
+
+def _hash_gather(table_flat, idx_lvl, level_size: int):
+    """Batched hash-table lookup: table_flat (L*T, F) f32, idx_lvl (L, Mp)
+    int32 per-level ids in [0, T). Returns (L*Mp, F) f32 (level-major).
+
+    Forward: ONE row gather from a bf16 view of the table (halves the
+    bytes of the hottest gather in the train step; tinycudann uses fp16
+    tables so half-precision features are parity-faithful). Backward:
+    per-level batched sort + blocked segment sum (f32-exact; see
+    ops/segsum.segment_sum_leveled)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+    def f(src, idx, lsz):
+        offs = (jnp.arange(idx.shape[0], dtype=jnp.int32) * lsz)[:, None]
+        flat = (idx + offs).reshape(-1)
+        return src.astype(jnp.bfloat16)[flat].astype(jnp.float32)
+
+    def fwd(src, idx, lsz):
+        return f(src, idx, lsz), idx
+
+    def bwd(lsz, idx, ct):
+        from gsavatar.ops.segsum import segment_sum_leveled
+        L, Mp = idx.shape
+        d = segment_sum_leveled(ct.reshape(L, Mp, -1), idx, lsz)
+        return d, None
+
+    f.defvjp(fwd, bwd)
+    return f(table_flat, idx_lvl, level_size)

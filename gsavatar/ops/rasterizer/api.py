@@ -119,15 +119,15 @@ def _rasterize_pairs(proj, colors, opacities, background, config):
     from . import pairs as _pairs
     from . import pallas_composite as _pc
 
+    # chunk rows of tail padding (the kernel's last DMA may overrun the
+    # final tile range) + lane padding to a full 128-lane tile happen
+    # inside build_pairs' custom gather, whose VJP consumes the raw padded
+    # gradient buffer directly (no pad/slice transpose passes)
     pa = _pairs.build_pairs(proj, colors, opacities, config.grid_x,
                             config.grid_y, config.max_pairs,
-                            max_rect=config.max_rect)
-    # chunk rows of tail padding (the kernel's last DMA may overrun the
-    # final tile range) + lane padding to a full 128-lane tile (physically
-    # free: a (P, 12) f32 array is already tiled (1, 128) in HBM)
-    pair_data = jnp.pad(
-        pa.pair_data,
-        ((0, config.chunk), (0, _pc.PAIR_LANES - _pairs.PAIR_COLS)))
+                            max_rect=config.max_rect,
+                            pad_rows=config.chunk, lanes=_pc.PAIR_LANES)
+    pair_data = pa.pair_data
 
     num_tiles = config.grid_x * config.grid_y
     interpret = config.backend.endswith('interpret')

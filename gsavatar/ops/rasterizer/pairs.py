@@ -29,7 +29,7 @@ PAIR_COLS = 12  # [m2dx, m2dy, con_a, con_b, con_c, r, g, b, opac, 0, 0, 0]
 
 
 class PairArrays(NamedTuple):
-    pair_data: jnp.ndarray   # (P, PAIR_COLS) f32
+    pair_data: jnp.ndarray   # (P + pad_rows, lanes) f32 (zero-padded)
     pair_gauss: jnp.ndarray  # (P,) int32 source gaussian per pair
     tile_start: jnp.ndarray  # (num_tiles + 1,) int32 range offsets
     n_pairs: jnp.ndarray     # () int32
@@ -84,9 +84,64 @@ def expand_pairs(proj: Projection, grid_x: int, grid_y: int, max_pairs: int):
     return g_safe, tile_id, valid, total
 
 
+def _pair_gather(gathered, sorted_g, *, pad_rows: int, lanes: int):
+    """pair_data = gathered[sorted_g], zero-padded to (P + pad_rows, lanes)
+    for the fused compositor's DMA layout, with a fast-transpose VJP.
+
+    The backward receives the compositor's RAW padded gradient buffer and
+    reduces pairs onto gaussians with a sort-based segment sum whose
+    operands are extracted in ONE fused transpose+slice pass over the
+    padded buffer (~3.5 ms) instead of 12 strided per-column extractions
+    (~21 ms measured) — every faster-looking alternative loses: a narrow
+    row gather permuting rows into gaussian order runs at ~2 GB/s of
+    touched source bytes (~46 ms), and XLA's fused gather-with-slice
+    lowering is pathological (~5 s). The optimization_barrier pins the
+    transposed layout so the sort cannot re-fuse the strided reads.
+    Uninitialized rows past the last tile range belong to sentinel
+    gaussians (id == n_gauss): they sort to the tail (their NaN values
+    ride the sort untouched), and the blocked kernel both drops their ids
+    and zero-masks values past the valid span, so the NaN bit patterns
+    never reach real gradients."""
+
+    import functools as _ft
+
+    @_ft.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+    def f(src, sg, pr, ln):
+        rows = src[jnp.minimum(sg, src.shape[0] - 1)]
+        return jnp.pad(rows, ((0, pr), (0, ln - rows.shape[1])))
+
+    def fwd(src, sg, pr, ln):
+        return f(src, sg, pr, ln), (sg, src.shape[0])
+
+    def bwd(pr, ln, res, ct):
+        sg, n_gauss = res
+        max_p = sg.shape[0]
+        # one pass over the padded buffer -> contiguous (PAIR_COLS, P)
+        ct_t = jax.lax.optimization_barrier(ct.T[:PAIR_COLS, :max_p])
+        cols = [ct_t[i] for i in range(PAIR_COLS)]
+        out = jax.lax.sort((sg, *cols), num_keys=1, is_stable=False)
+        from gsavatar.ops.segsum import _backend
+        backend = _backend()
+        if backend.startswith('pallas'):
+            from gsavatar.ops.segsum_pallas import \
+                segment_sum_sorted_blocked_t
+            d = segment_sum_sorted_blocked_t(
+                jnp.stack(out[1:], axis=0), out[0], n_gauss,
+                interpret=backend.endswith('interpret'))
+        else:
+            from gsavatar.ops.segsum import segment_sum_sorted
+            d = segment_sum_sorted(jnp.stack(out[1:], axis=1), out[0],
+                                   n_gauss)
+        return d, None
+
+    f.defvjp(fwd, bwd)
+    return f(gathered, sorted_g, pad_rows, lanes)
+
+
 def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
                 max_pairs: int, znear: float = 0.2, zfar: float = 100.0,
-                max_rect: int = 8) -> PairArrays:
+                max_rect: int = 8, pad_rows: int = 0,
+                lanes: int = PAIR_COLS) -> PairArrays:
     """Dense rect-window pair building: instead of expanding a flat pair
     arena (a 1M-update scatter costs ~50 ms — tools/profile_pairs*.py), every
     gaussian owns a static (max_rect x max_rect) window of candidate tiles;
@@ -130,7 +185,10 @@ def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
     gidx = jnp.arange(n_gauss, dtype=jnp.int32)
     gid = jnp.where(valid, gidx[:, None, None], n_gauss).reshape(-1)
 
-    sorted_key, sorted_g = jax.lax.sort((key, gid), num_keys=1)
+    # unstable: order within identical (tile, quantized-depth) keys is
+    # arbitrary anyway (the stability iota would be a third sort operand)
+    sorted_key, sorted_g = jax.lax.sort((key, gid), num_keys=1,
+                                        is_stable=False)
     sorted_key = sorted_key[:max_pairs]
     sorted_g = sorted_g[:max_pairs]
     sorted_tile = sorted_key >> DEPTH_BITS
@@ -142,13 +200,13 @@ def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
 
     # one fused gather of everything the compositor needs; sentinel pairs
     # read the last row but sit past the last tile range, which no program
-    # touches. gather_rows routes the backward through the sort-based
-    # segment sum (ops/segsum.py) instead of XLA's ~30 ms scatter-add.
-    from gsavatar.ops.segsum import gather_rows
+    # touches. The custom VJP (_pair_gather) reduces pair gradients onto
+    # gaussians via index-presort + permuting gather + blocked segment sum.
     gathered = jnp.concatenate([
         proj.means2d, proj.conics, colors, opacities.reshape(-1, 1),
         jnp.zeros((colors.shape[0], PAIR_COLS - 9), colors.dtype)], axis=1)
-    pair_data = gather_rows(gathered, sorted_g)
+    pair_data = _pair_gather(gathered, sorted_g, pad_rows=pad_rows,
+                             lanes=lanes)
 
     total = jnp.sum(jnp.where(vis, wc * hc, 0))
     return PairArrays(pair_data=pair_data, pair_gauss=sorted_g,

@@ -74,7 +74,9 @@ def segment_sum(values, seg_ids, num_segments: int):
     shape)."""
     vals_t = values.T                                   # (C, M)
     cols = [vals_t[i] for i in range(vals_t.shape[0])]
-    out = jax.lax.sort((seg_ids, *cols), num_keys=1)
+    # unstable: order within a segment is irrelevant for summation, and
+    # stability would ride an extra iota operand through the sort
+    out = jax.lax.sort((seg_ids, *cols), num_keys=1, is_stable=False)
     sids = out[0]
     backend = _backend()
     if backend.startswith('pallas'):
@@ -84,6 +86,34 @@ def segment_sum(values, seg_ids, num_segments: int):
             interpret=backend.endswith('interpret'))
     return segment_sum_sorted(jnp.stack(out[1:], axis=1), sids,
                               num_segments)
+
+
+def segment_sum_leveled(values, seg_ids_local, level_size: int):
+    """Batched per-level variant for the hash-grid backward: values
+    (L, Mp, C), seg_ids_local (L, Mp) int32 in [0, level_size). Returns
+    (L * level_size, C) — the transpose of L independent gathers from a
+    (L * level_size, C) table.
+
+    Sorting each level independently (one batched unstable lax.sort over
+    the last axis) is cheaper than one global sort of L*Mp elements: the
+    comparator runs log2(Mp) instead of log2(L*Mp) rounds, and the
+    level-major concatenation of per-level-sorted ids (+ level offsets) is
+    globally sorted, so the blocked kernel consumes it unchanged."""
+    L, Mp, C = values.shape
+    vt = values.transpose(2, 0, 1)      # one relayout pass, contiguous rows
+    cols = [vt[i] for i in range(C)]
+    out = jax.lax.sort((seg_ids_local, *cols), num_keys=1, is_stable=False)
+    offs = (jnp.arange(L, dtype=jnp.int32) * level_size)[:, None]
+    ids_flat = (out[0] + offs).reshape(-1)
+    backend = _backend()
+    if backend.startswith('pallas'):
+        from gsavatar.ops.segsum_pallas import segment_sum_sorted_blocked_t
+        vals_t = jnp.stack([c.reshape(-1) for c in out[1:]], axis=0)
+        return segment_sum_sorted_blocked_t(
+            vals_t, ids_flat, L * level_size,
+            interpret=backend.endswith('interpret'))
+    vals = jnp.stack([c.reshape(-1) for c in out[1:]], axis=1)
+    return segment_sum_sorted(vals, ids_flat, L * level_size)
 
 
 def make_gather_with_fast_transpose():
