@@ -105,17 +105,20 @@ def _hash_gather(table_flat, idx_lvl, level_size: int):
     """Batched hash-table lookup: table_flat (L*T, F) f32, idx_lvl (L, Mp)
     int32 per-level ids in [0, T). Returns (L*Mp, F) f32 (level-major).
 
-    Forward: ONE row gather from a bf16 view of the table (halves the
-    bytes of the hottest gather in the train step; tinycudann uses fp16
-    tables so half-precision features are parity-faithful). Backward:
-    per-level batched sort + blocked segment sum (f32-exact; see
-    ops/segsum.segment_sum_leveled)."""
+    Forward: L per-level row gathers from bf16 views of each level's
+    256 KB sub-table (measured ~20% faster than one gather from the
+    2^20-row concatenation — the small source stages in VMEM;
+    tools/profile_gather3.py; bf16 halves the bytes and tinycudann's
+    tables are fp16 so half-precision features are parity-faithful).
+    Backward: per-level batched sort + blocked segment sum (f32-exact;
+    see ops/segsum.segment_sum_leveled)."""
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
     def f(src, idx, lsz):
-        offs = (jnp.arange(idx.shape[0], dtype=jnp.int32) * lsz)[:, None]
-        flat = (idx + offs).reshape(-1)
-        return src.astype(jnp.bfloat16)[flat].astype(jnp.float32)
+        L = idx.shape[0]
+        src16 = src.astype(jnp.bfloat16)
+        outs = [src16[l * lsz:(l + 1) * lsz][idx[l]] for l in range(L)]
+        return jnp.concatenate(outs, axis=0).astype(jnp.float32)
 
     def fwd(src, idx, lsz):
         return f(src, idx, lsz), idx

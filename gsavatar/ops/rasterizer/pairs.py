@@ -88,27 +88,31 @@ def _pair_gather(gathered, sorted_g, *, pad_rows: int, lanes: int):
     """pair_data = gathered[sorted_g], zero-padded to (P + pad_rows, lanes)
     for the fused compositor's DMA layout, with a fast-transpose VJP.
 
-    The backward receives the compositor's RAW padded gradient buffer and
-    reduces pairs onto gaussians with a sort-based segment sum whose
-    operands are extracted in ONE fused transpose+slice pass over the
-    padded buffer (~3.5 ms) instead of 12 strided per-column extractions
-    (~21 ms measured) — every faster-looking alternative loses: a narrow
-    row gather permuting rows into gaussian order runs at ~2 GB/s of
-    touched source bytes (~46 ms), and XLA's fused gather-with-slice
-    lowering is pathological (~5 s). The optimization_barrier pins the
-    transposed layout so the sort cannot re-fuse the strided reads.
-    Uninitialized rows past the last tile range belong to sentinel
-    gaussians (id == n_gauss): they sort to the tail (their NaN values
-    ride the sort untouched), and the blocked kernel both drops their ids
-    and zero-masks values past the valid span, so the NaN bit patterns
-    never reach real gradients."""
+    Layout discipline (the whole game at P=2M): a row-major f32 (P, 12)
+    array is physically lane-padded to (P, 128) on TPU — 1 GB — so every
+    extra pass over it costs ~3 ms. Forward therefore gathers straight
+    from a pre-padded (N+1, lanes) source into the final padded buffer
+    (no separate 1 GB pad pass). Backward extracts the 12 live gradient
+    lanes of the compositor's raw padded cotangent buffer with ONE MXU
+    matmul (12,128) @ (128,P) -> (12,P) row-major — column slices of that
+    are free bitcasts — instead of a transpose copy whose {0,1} layout
+    made each of the 12 sort-operand extractions re-read the whole
+    buffer (~13 ms/step measured). The selector matmul also zero-masks
+    the dead lanes, so uninitialized garbage there never rides the sort.
+    Rows past the last tile range belong to sentinel gaussians
+    (id == n_gauss): they sort to the tail and the blocked kernel both
+    drops their ids and zero-masks values past the valid span, so their
+    NaN bit patterns never reach real gradients."""
 
     import functools as _ft
 
     @_ft.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
     def f(src, sg, pr, ln):
-        rows = src[jnp.minimum(sg, src.shape[0] - 1)]
-        return jnp.pad(rows, ((0, pr), (0, ln - rows.shape[1])))
+        src_pad = jnp.zeros((src.shape[0] + 1, ln), src.dtype)
+        src_pad = jax.lax.dynamic_update_slice(src_pad, src, (0, 0))
+        sg_ext = jnp.concatenate(
+            [sg, jnp.full((pr,), src.shape[0], sg.dtype)])
+        return src_pad[jnp.minimum(sg_ext, src.shape[0])]
 
     def fwd(src, sg, pr, ln):
         return f(src, sg, pr, ln), (sg, src.shape[0])
@@ -116,8 +120,12 @@ def _pair_gather(gathered, sorted_g, *, pad_rows: int, lanes: int):
     def bwd(pr, ln, res, ct):
         sg, n_gauss = res
         max_p = sg.shape[0]
-        # one pass over the padded buffer -> contiguous (PAIR_COLS, P)
-        ct_t = jax.lax.optimization_barrier(ct.T[:PAIR_COLS, :max_p])
+        # MXU lane extraction: (12, lanes) selector @ (lanes, P) -> row-major
+        sel = jnp.eye(PAIR_COLS, ct.shape[1], dtype=ct.dtype)
+        ct_t = jax.lax.dot_general(
+            sel, ct[:max_p],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         cols = [ct_t[i] for i in range(PAIR_COLS)]
         out = jax.lax.sort((sg, *cols), num_keys=1, is_stable=False)
         from gsavatar.ops.segsum import _backend
