@@ -95,7 +95,7 @@ class HashGrid(nn.Module):
 
         idx_lvl = jnp.stack(idx_all).reshape(L, 8 * N)      # local ids
         w_cat = jnp.stack(w_all).reshape(L, 8, N, 1)
-        g = _hash_gather(table.reshape(L * T, F), idx_lvl, T)
+        g = _hash_gather(table.reshape(L * T, F), idx_lvl, T)  # (L, 8N, F)
         g = g.reshape(L, 8, N, F)
         feats = jnp.sum(g * w_cat, axis=1)                  # (L, N, F)
         return feats.transpose(1, 0, 2).reshape(N, L * F)
@@ -103,7 +103,8 @@ class HashGrid(nn.Module):
 
 def _hash_gather(table_flat, idx_lvl, level_size: int):
     """Batched hash-table lookup: table_flat (L*T, F) f32, idx_lvl (L, Mp)
-    int32 per-level ids in [0, T). Returns (L*Mp, F) f32 (level-major).
+    int32 per-level ids in [0, T). Returns (L, Mp, F) f32 — stacked (not
+    concatenated) so the caller's reshape is layout-free.
 
     Forward: L per-level row gathers from bf16 views of each level's
     256 KB sub-table (measured ~20% faster than one gather from the
@@ -118,15 +119,14 @@ def _hash_gather(table_flat, idx_lvl, level_size: int):
         L = idx.shape[0]
         src16 = src.astype(jnp.bfloat16)
         outs = [src16[l * lsz:(l + 1) * lsz][idx[l]] for l in range(L)]
-        return jnp.concatenate(outs, axis=0).astype(jnp.float32)
+        return jnp.stack(outs, axis=0).astype(jnp.float32)
 
     def fwd(src, idx, lsz):
         return f(src, idx, lsz), idx
 
     def bwd(lsz, idx, ct):
         from gsavatar.ops.segsum import segment_sum_leveled
-        L, Mp = idx.shape
-        d = segment_sum_leveled(ct.reshape(L, Mp, -1), idx, lsz)
+        d = segment_sum_leveled(ct, idx, lsz)
         return d, None
 
     f.defvjp(fwd, bwd)

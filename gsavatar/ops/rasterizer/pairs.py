@@ -120,13 +120,16 @@ def _pair_gather(gathered, sorted_g, *, pad_rows: int, lanes: int):
     def bwd(pr, ln, res, ct):
         sg, n_gauss = res
         max_p = sg.shape[0]
-        # MXU lane extraction: (12, lanes) selector @ (lanes, P) -> row-major
-        sel = jnp.eye(PAIR_COLS, ct.shape[1], dtype=ct.dtype)
+        # MXU lane extraction of the LIVE columns only (9 of PAIR_COLS=12 —
+        # cols 9..11 are structural zeros whose gradients are discarded):
+        # (9, lanes) selector @ (lanes, P) -> row-major (9, P)
+        live = 9
+        sel = jnp.eye(live, ct.shape[1], dtype=ct.dtype)
         ct_t = jax.lax.dot_general(
             sel, ct[:max_p],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        cols = [ct_t[i] for i in range(PAIR_COLS)]
+        cols = [ct_t[i] for i in range(live)]
         out = jax.lax.sort((sg, *cols), num_keys=1, is_stable=False)
         from gsavatar.ops.segsum import _backend
         backend = _backend()
@@ -140,7 +143,8 @@ def _pair_gather(gathered, sorted_g, *, pad_rows: int, lanes: int):
             from gsavatar.ops.segsum import segment_sum_sorted
             d = segment_sum_sorted(jnp.stack(out[1:], axis=1), out[0],
                                    n_gauss)
-        return d, None
+        # widen back to the full src column count (zeros for cols 9..11)
+        return jnp.pad(d, ((0, 0), (0, PAIR_COLS - live))), None
 
     f.defvjp(fwd, bwd)
     return f(gathered, sorted_g, pad_rows, lanes)
