@@ -28,6 +28,17 @@ def fix_symmetry(arr: np.ndarray, rng=None) -> np.ndarray:
     return arr.astype(np.float32)
 
 
+def padding_ratio(cfg):
+    """AABB padding from config: a scalar or a per-axis [px, py, pz] list
+    (reference dummy_dataset.py:138-142 np.array's the value; the
+    zjumocap_387 config sets a 3-list)."""
+    p = cfg.get('padding', 0.1)
+    try:
+        return np.asarray([float(v) for v in p], dtype=np.float32)
+    except TypeError:
+        return float(p)
+
+
 def canonicalize(minimal_shape: np.ndarray, assets: SMPLAssets,
                  padding: float = 0.1) -> dict:
     """Star-pose (Vitruvian) canonicalization of a minimally-clothed shape.

@@ -104,7 +104,7 @@ class PeopleSnapshotDataset(BaseDataset):
         minimal_shape = base.fix_symmetry(
             np.load(sel_files[0])['minimal_shape'])
         md = base.canonicalize(minimal_shape, self.assets,
-                               padding=float(self.cfg.get('padding', 0.1)))
+                               padding=base.padding_ratio(self.cfg))
         if split != 'train':
             return md
         # NOTE deviation: the reference double-slices here

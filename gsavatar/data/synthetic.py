@@ -59,7 +59,7 @@ class SyntheticDataset(BaseDataset):
 
         minimal_shape = self.assets.v_template.copy()
         self.metadata = base.canonicalize(minimal_shape, self.assets,
-                                          padding=cfg.get('padding', 0.1))
+                                          padding=base.padding_ratio(cfg))
 
         # frames & views for this split
         n_frames_total = cfg.train_frames[1]

@@ -107,7 +107,7 @@ class ZJUMoCapDataset(BaseDataset):
         minimal_shape = base.fix_symmetry(
             np.load(self.model_files[0])['minimal_shape'])
         md = base.canonicalize(minimal_shape, self.assets,
-                               padding=float(self.cfg.get('padding', 0.1)))
+                               padding=base.padding_ratio(self.cfg))
         if split != 'train':
             return md
         frame_dict = {f: i for i, f in enumerate(sel_frames)}

@@ -26,6 +26,9 @@ DEPTH_LEVELS = (1 << DEPTH_BITS) - 1
 
 # pair_data column layout
 PAIR_COLS = 12  # [m2dx, m2dy, con_a, con_b, con_c, r, g, b, opac, 0, 0, 0]
+LIVE_COLS = 9   # leading columns that carry real data (the rest are
+                # structural zero lanes; pallas_composite.PAIR_LANES padding
+                # and the backward lane extraction both key off this)
 
 
 class PairArrays(NamedTuple):
@@ -120,14 +123,20 @@ def _pair_gather(gathered, sorted_g, *, pad_rows: int, lanes: int):
     def bwd(pr, ln, res, ct):
         sg, n_gauss = res
         max_p = sg.shape[0]
-        # MXU lane extraction of the LIVE columns only (9 of PAIR_COLS=12 —
-        # cols 9..11 are structural zeros whose gradients are discarded):
-        # (9, lanes) selector @ (lanes, P) -> row-major (9, P)
-        live = 9
+        # MXU lane extraction of the LIVE columns only (LIVE_COLS of
+        # PAIR_COLS — trailing cols are structural zeros whose gradients are
+        # discarded): (LIVE, lanes) selector @ (lanes, P) -> row-major
+        # (LIVE, P). Precision pinned HIGHEST: the 0/1 selector side is
+        # bf16-exact, so the extraction stays an exact f32 copy instead of
+        # rounding every pair gradient to bf16 under DEFAULT (the matmul is
+        # tiny — 9xlanes — so the extra MXU passes cost nothing next to the
+        # 1 GB cotangent read).
+        live = LIVE_COLS
         sel = jnp.eye(live, ct.shape[1], dtype=ct.dtype)
         ct_t = jax.lax.dot_general(
             sel, ct[:max_p],
             (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         cols = [ct_t[i] for i in range(live)]
         out = jax.lax.sort((sg, *cols), num_keys=1, is_stable=False)
@@ -143,7 +152,8 @@ def _pair_gather(gathered, sorted_g, *, pad_rows: int, lanes: int):
             from gsavatar.ops.segsum import segment_sum_sorted
             d = segment_sum_sorted(jnp.stack(out[1:], axis=1), out[0],
                                    n_gauss)
-        # widen back to the full src column count (zeros for cols 9..11)
+        # widen back to the full src column count (zeros for the structural
+        # lanes past LIVE_COLS)
         return jnp.pad(d, ((0, 0), (0, PAIR_COLS - live))), None
 
     f.defvjp(fwd, bwd)
@@ -211,12 +221,14 @@ def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
         side='left').astype(jnp.int32)
 
     # one fused gather of everything the compositor needs; sentinel pairs
-    # read the last row but sit past the last tile range, which no program
-    # touches. The custom VJP (_pair_gather) reduces pair gradients onto
+    # read the appended all-zero pad row and sit past the last tile range,
+    # which no program touches. The custom VJP (_pair_gather) reduces pair
+    # gradients onto
     # gaussians via index-presort + permuting gather + blocked segment sum.
     gathered = jnp.concatenate([
         proj.means2d, proj.conics, colors, opacities.reshape(-1, 1),
-        jnp.zeros((colors.shape[0], PAIR_COLS - 9), colors.dtype)], axis=1)
+        jnp.zeros((colors.shape[0], PAIR_COLS - LIVE_COLS), colors.dtype)],
+        axis=1)
     pair_data = _pair_gather(gathered, sorted_g, pad_rows=pad_rows,
                              lanes=lanes)
 

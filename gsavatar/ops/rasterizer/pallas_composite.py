@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .project import TILE
-from .pairs import PAIR_COLS
+from .pairs import LIVE_COLS, PAIR_COLS
 
 _LOG_TERM = math.log(1e-4)
 _MIN_ALPHA = 1.0 / 255.0
@@ -310,7 +310,8 @@ def _bwd_kernel(tile_start_ref, tile_base_ref, pair_hbm, ct_hbm, fwd_hbm,
              sum_px(d_power_px * (-dx * dy)),
              sum_px(d_power_px * (-0.5 * dy * dy)),
              d_color, sum_px(d_opac_px),
-             jnp.zeros((chunk, PAIR_LANES - 9), jnp.float32)], axis=1)
+             jnp.zeros((chunk, PAIR_LANES - LIVE_COLS), jnp.float32)],
+            axis=1)
         grad_buf[:, :] = grad_rows
         copy_out = pltpu.make_async_copy(
             grad_buf, grad_hbm.at[pl.ds(start + i * chunk, chunk), :],

@@ -53,6 +53,37 @@ def stack_cameras(cameras):
     return jax.tree.map(lambda *xs: np.stack(xs), *cameras)
 
 
+def put_replicated(tree, mesh: Mesh):
+    """Replicate a host pytree over every mesh device. Uses
+    make_array_from_callback so it also works multi-process (each process
+    materializes only its addressable shards)."""
+    sh = NamedSharding(mesh, P())
+
+    def put(x):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
+
+
+def put_batch(batch, mesh: Mesh):
+    """Place a host-stacked camera batch (leading dim B) sharded over the
+    mesh `data` axis. Multi-process: every process passes the SAME global
+    batch (the driver's frame sampler is seeded identically on all
+    processes); each device keeps only its row slice."""
+    sh = NamedSharding(mesh, P('data'))
+
+    def put(x):
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, batch)
+
+
 def make_sharded_train_step(scene: Scene, mesh: Mesh):
     """Must be created AND first-called inside `sharding_scope(mesh)` so the
     rasterizer's tile-sharding hints are traced active."""

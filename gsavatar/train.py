@@ -44,6 +44,26 @@ def loss_weights(cfg, iteration: int) -> dict:
     return out
 
 
+def schedule_flags(iteration: int, *, densify_until: int, densify_from: int,
+                   densify_interval: int, opacity_reset_interval: int,
+                   gauss_delay: int, white_bg: bool):
+    """The densification-schedule truth table of reference train.py:217-227.
+    Everything — stats accumulation, densify/prune, opacity reset, the
+    white-background early reset — sits INSIDE the outer
+    `iteration < densify_until and iteration > gaussian.delay` gate, so with
+    the default delay=1000 the `white_bg and iteration == densify_from(=500)`
+    reset can never fire. Returns (in_window, do_densify, do_reset,
+    use_screen_size_prune)."""
+    in_window = (iteration < densify_until) and (iteration > gauss_delay)
+    do_densify = (in_window and iteration > densify_from
+                  and iteration % densify_interval == 0)
+    do_reset = in_window and (
+        iteration % opacity_reset_interval == 0
+        or (white_bg and iteration == densify_from))
+    use_screen_size_prune = iteration > opacity_reset_interval
+    return in_window, do_densify, do_reset, use_screen_size_prune
+
+
 def make_loss_fn(scene: Scene):
     """The per-camera loss assembly (reference train.py:106-178), shared by
     the single-chip step (make_train_step) and the sharded multi-chip step
@@ -156,7 +176,12 @@ def make_train_step(scene: Scene):
         # rasterize, losses, Adam — runs over bucket rows, not capacity.
         if not bucket:
             bucket = scene.capacity
-        rng, k_noise, k_skin, k_split = jax.random.split(state.rng, 4)
+        # key derivation mirrors the B=1 sharded step (parallel/shard.py)
+        # exactly, so `parallel={data:1,...}` reproduces the single-chip
+        # trajectory bit-for-bit modulo layout
+        rng, step_key = jax.random.split(state.rng)
+        k_noise, k_skin = jax.random.split(
+            jax.random.split(step_key, 1)[0])
         sl = lambda tree: jax.tree.map(lambda x: x[:bucket], tree)
         params_b = sl(state.gauss_params)
         alive_b = state.gauss_aux.alive[:bucket]
@@ -358,15 +383,49 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
 
     exp_dir = cfg.get('exp_dir') or os.path.join(
         'exp', str(cfg.get('name', 'run')))
-    os.makedirs(exp_dir, exist_ok=True)
-    logger = MetricLogger(os.path.join(exp_dir, 'metrics.jsonl'))
-    # record which LPIPS weight source shapes this run (exported pretrained
-    # vs the documented random fallback vs off) — ADVICE r2: a run trained
-    # with random-VGG perceptual loss must be distinguishable in the logs
-    from gsavatar.ops import lpips as lpips_mod
-    logger.log(0, {'lpips_weights': lpips_mod.weights_kind() or 'off'})
+    logger = None
+    if jax.process_index() == 0:
+        os.makedirs(exp_dir, exist_ok=True)
+        logger = MetricLogger(os.path.join(exp_dir, 'metrics.jsonl'))
+        # record which LPIPS weight source shapes this run (exported
+        # pretrained vs the documented random fallback vs off) — ADVICE r2:
+        # a run trained with random-VGG perceptual loss must be
+        # distinguishable in the logs
+        from gsavatar.ops import lpips as lpips_mod
+        logger.log(0, {'lpips_weights': lpips_mod.weights_kind() or 'off'})
 
-    train_step = make_train_step(scene)
+    # --- multi-device: cfg.parallel = {data: D, model: M} routes the run
+    # through the sharded train step over a (D, M) mesh — one optimizer step
+    # consumes D camera frames (batch-mean loss; densify stats scale to D
+    # reference iterations). Absent/zero = the single-chip step. This is the
+    # new-design capability SURVEY §2.12 adds over the single-GPU reference.
+    par = cfg.get('parallel', None) or {}
+    mesh_data = int(par.get('data', 0) or 0)
+    mesh_model = int(par.get('model', 0) or 0)
+    use_mesh = mesh_data >= 1 and mesh_model >= 1
+    if use_mesh:
+        import contextlib
+        from gsavatar.parallel import mesh as mesh_mod
+        from gsavatar.parallel.context import sharding_scope
+        from gsavatar.parallel import shard as shard_mod
+        mesh_mod.initialize_distributed()
+        n_dev = mesh_data * mesh_model
+        if n_dev > len(jax.devices()):
+            raise ValueError(
+                f"parallel.data x parallel.model = {n_dev} exceeds the "
+                f"{len(jax.devices())} visible devices")
+        mesh = mesh_mod.make_mesh(n_dev, data=mesh_data, model=mesh_model)
+        scope = sharding_scope(mesh)
+        with sharding_scope(mesh):
+            sharded_step = shard_mod.make_sharded_train_step(scene, mesh)[0]
+        state = shard_mod.put_replicated(state, mesh)
+        if jax.process_index() == 0:
+            print(f"Training over mesh {dict(mesh.shape)} "
+                  f"({jax.process_count()} process(es))", flush=True)
+    else:
+        import contextlib
+        scope = contextlib.nullcontext()
+        train_step = make_train_step(scene)
     densify_step, opacity_reset_step, refresh_knn = make_densify_step(scene)
     validation = make_validation(scene)
 
@@ -408,87 +467,113 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
     trace_stop = int(cfg.get('profile_stop_iter', trace_start + 3))
     tracing = False
 
-    for iteration in range(first_iteration, iterations + 1):
-        if trace_dir and iteration == trace_start and not tracing:
-            jax.profiler.start_trace(str(trace_dir))
-            tracing = True
-        if tracing and iteration == trace_stop:
-            jax.block_until_ready(state.gauss_params.xyz)
-            jax.profiler.stop_trace()
-            tracing = False
+    def next_frame_idx():
+        nonlocal data_stack
         if not data_stack:
             data_stack = list(range(len(scene.train_dataset)))
-        data_idx = data_stack.pop(int(rng.integers(len(data_stack))))
-        camera = scene.device_camera(data_idx, 'train')
+        return data_stack.pop(int(rng.integers(len(data_stack))))
 
-        weights = loss_weights(cfg, iteration)
-        in_window = (iteration < densify_until) and (iteration > gauss_delay)
-        weights['_in_densify_window'] = 1.0 if in_window else 0.0
-        xyz_lr = float(scene.xyz_lr_fn(iteration))
-        deg = scene.active_sh_degree(iteration)
+    # the sharding scope (mesh context + hint() activation) must be live for
+    # every traced call in the loop — train/densify/validation jits alike
+    scope.__enter__()
+    try:
+        for iteration in range(first_iteration, iterations + 1):
+            if trace_dir and iteration == trace_start and not tracing:
+                jax.profiler.start_trace(str(trace_dir))
+                tracing = True
+            if tracing and iteration == trace_stop:
+                jax.block_until_ready(state.gauss_params.xyz)
+                jax.profiler.stop_trace()
+                tracing = False
 
-        state, metrics = train_step(state, camera,
-                                    jnp.int32(iteration), weights, xyz_lr,
-                                    active_sh_degree=deg, bucket=bucket)
+            weights = loss_weights(cfg, iteration)
+            in_window, do_densify, do_reset, use_ss = schedule_flags(
+                iteration, densify_until=densify_until,
+                densify_from=densify_from, densify_interval=densify_interval,
+                opacity_reset_interval=opacity_reset_interval,
+                gauss_delay=gauss_delay, white_bg=white_bg)
+            weights['_in_densify_window'] = 1.0 if in_window else 0.0
+            xyz_lr = float(scene.xyz_lr_fn(iteration))
+            deg = scene.active_sh_degree(iteration)
 
-        if in_window and iteration > densify_from \
-                and iteration % densify_interval == 0:
-            key = jax.random.PRNGKey(iteration)
-            use_ss = iteration > opacity_reset_interval
-            state, dinfo = densify_step(state, key, use_ss)
-            logger.log(iteration, {f'densify/{k}': int(v)
-                                   for k, v in dinfo.items()})
-            bucket = scene.bucket_for(int(dinfo['n_alive']))
-            state = refresh_knn(state, bucket=bucket)
+            if use_mesh:
+                # one optimizer step over a `data`-axis camera batch; sampling
+                # is seeded identically on every process, so all hosts agree on
+                # the frame ids and shard the same global batch
+                idxs = [next_frame_idx() for _ in range(mesh_data)]
+                batch = shard_mod.stack_cameras(
+                    [scene.train_dataset[i] for i in idxs])
+                batch = shard_mod.put_batch(batch, mesh)
+                state, metrics = sharded_step(state, batch,
+                                              jnp.int32(iteration), weights,
+                                              xyz_lr, active_sh_degree=deg,
+                                              bucket=bucket)
+            else:
+                camera = scene.device_camera(next_frame_idx(), 'train')
+                state, metrics = train_step(state, camera,
+                                            jnp.int32(iteration), weights,
+                                            xyz_lr, active_sh_degree=deg,
+                                            bucket=bucket)
 
-        if iteration < densify_until and (
-                iteration % opacity_reset_interval == 0
-                or (white_bg and iteration == densify_from)):
-            state = opacity_reset_step(state)
+            if do_densify:
+                key = jax.random.PRNGKey(iteration)
+                state, dinfo = densify_step(state, key, use_ss)
+                if logger:
+                    logger.log(iteration, {f'densify/{k}': int(v)
+                                           for k, v in dinfo.items()})
+                bucket = scene.bucket_for(int(dinfo['n_alive']))
+                state = refresh_knn(state, bucket=bucket)
 
-        # in-loop validation (reference train.py:211,236-297)
-        if (test_interval > 0 and iteration % test_interval == 0) \
-                or iteration in test_iterations:
-            validation(state, iteration, logger, exp_dir,
-                       save_images=bool(cfg.get('save_val_images', False)),
-                       max_val_frames=max_val_frames, bucket=bucket)
-            t0 = time.time()  # don't count validation in iter_time
+            if do_reset:
+                state = opacity_reset_step(state)
 
-        if iteration % log_every == 0 or iteration == 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            m['iter_time'] = (time.time() - t0) / log_every * 1000.0
-            logger.log(iteration, m)
-            # fail-loudly on dropped work: the reference never drops splats,
-            # so a nonzero overflow counter is a silent quality divergence
-            n_over = (m.get('overflow/pairs', 0) + m.get('overflow/tile', 0)
-                      + m.get('overflow/rect', 0))
-            if n_over > 0 and not overflow_alarmed:
-                overflow_alarmed = True
-                msg = (f"[gsavatar] WARNING iter {iteration}: rasterizer "
-                       f"overflow (pairs={m.get('overflow/pairs', 0):.0f}, "
-                       f"tile={m.get('overflow/tile', 0):.0f}, "
-                       f"rect={m.get('overflow/rect', 0):.0f}) — splats are "
-                       f"being DROPPED or cropped. Raise rasterizer."
-                       f"max_pairs / per_tile_capacity / max_rect.")
-                print(msg, flush=True)
-                if bool(cfg.get('strict_overflow', False)):
-                    raise RuntimeError(msg)
-            if progress and (iteration % (log_every * 10) == 0
-                             or iteration == 1):
-                print(f"[{iteration}/{iterations}] "
-                      f"loss={m['loss/total_loss']:.5f} "
-                      f"psnr={m['psnr']:.2f} n={int(m['n_alive'])} "
-                      f"({m['iter_time']:.0f} ms/it)", flush=True)
-            t0 = time.time()
+            # in-loop validation (reference train.py:211,236-297)
+            if (test_interval > 0 and iteration % test_interval == 0) \
+                    or iteration in test_iterations:
+                validation(state, iteration, logger, exp_dir,
+                           save_images=bool(cfg.get('save_val_images', False)),
+                           max_val_frames=max_val_frames, bucket=bucket)
+                t0 = time.time()  # don't count validation in iter_time
 
-        if iteration in save_iterations:
-            from gsavatar.utils import ply
-            ply.save_arena_ply(
-                os.path.join(exp_dir, 'point_cloud',
-                             f'iteration_{iteration}', 'point_cloud.ply'),
-                state.gauss_params, state.gauss_aux)
-        if iteration in checkpoint_iterations:
-            scene.save_checkpoint(state, iteration, exp_dir)
+            if iteration % log_every == 0 or iteration == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m['iter_time'] = (time.time() - t0) / log_every * 1000.0
+                if logger:
+                    logger.log(iteration, m)
+                # fail-loudly on dropped work: the reference never drops splats,
+                # so a nonzero overflow counter is a silent quality divergence
+                n_over = (m.get('overflow/pairs', 0) + m.get('overflow/tile', 0)
+                          + m.get('overflow/rect', 0))
+                if n_over > 0 and not overflow_alarmed:
+                    overflow_alarmed = True
+                    msg = (f"[gsavatar] WARNING iter {iteration}: rasterizer "
+                           f"overflow (pairs={m.get('overflow/pairs', 0):.0f}, "
+                           f"tile={m.get('overflow/tile', 0):.0f}, "
+                           f"rect={m.get('overflow/rect', 0):.0f}) — splats are "
+                           f"being DROPPED or cropped. Raise rasterizer."
+                           f"max_pairs / per_tile_capacity / max_rect.")
+                    print(msg, flush=True)
+                    if bool(cfg.get('strict_overflow', False)):
+                        raise RuntimeError(msg)
+                if progress and (iteration % (log_every * 10) == 0
+                                 or iteration == 1):
+                    print(f"[{iteration}/{iterations}] "
+                          f"loss={m['loss/total_loss']:.5f} "
+                          f"psnr={m['psnr']:.2f} n={int(m['n_alive'])} "
+                          f"({m['iter_time']:.0f} ms/it)", flush=True)
+                t0 = time.time()
+
+            if iteration in save_iterations and jax.process_index() == 0:
+                from gsavatar.utils import ply
+                ply.save_arena_ply(
+                    os.path.join(exp_dir, 'point_cloud',
+                                 f'iteration_{iteration}', 'point_cloud.ply'),
+                    state.gauss_params, state.gauss_aux)
+            if iteration in checkpoint_iterations:
+                scene.save_checkpoint(state, iteration, exp_dir)
+
+    finally:
+        scope.__exit__(None, None, None)
 
     return scene, state, logger
 
