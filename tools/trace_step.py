@@ -18,6 +18,10 @@ setup_cache()
 
 
 def parse_xplane(trace_dir, top=40):
+    """Per-line accounting: the device plane's 'XLA Ops' line holds the
+    serial op timeline (non-overlapping — the real critical path); async
+    DMA queues get their own lines whose durations OVERLAP compute and must
+    not be summed into the op costs."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
     files = glob.glob(os.path.join(trace_dir, '**', '*.xplane.pb'),
                       recursive=True)
@@ -25,25 +29,26 @@ def parse_xplane(trace_dir, top=40):
     xspace = xplane_pb2.XSpace()
     with open(sorted(files)[-1], 'rb') as f:
         xspace.ParseFromString(f.read())
-    totals = {}
+    per_line = {}
     for plane in xspace.planes:
         if 'TPU' not in plane.name and 'tpu' not in plane.name \
                 and 'Device' not in plane.name:
             continue
         ev_meta = plane.event_metadata
         for line in plane.lines:
-            lname = line.name.lower()
-            if 'step' in lname and 'xla' not in lname:
-                continue
+            totals = per_line.setdefault(line.name, {})
             for ev in line.events:
                 name = ev_meta[ev.metadata_id].name
                 totals[name] = totals.get(name, 0) + ev.duration_ps
-    items = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
-    ssum = sum(totals.values())
-    print(f"total device ps: {ssum/1e9:.1f} ms (all events, may double-count"
-          " nested lines)")
-    for name, ps in items:
-        print(f"{ps/1e9:9.2f} ms  {name[:110]}")
+    for lname, totals in sorted(per_line.items()):
+        ssum = sum(totals.values())
+        print(f"\n== line '{lname}': {ssum/1e9:.1f} ms total")
+        if 'op' not in lname.lower():
+            items = sorted(totals.items(), key=lambda kv: -kv[1])[:5]
+        else:
+            items = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+        for name, ps in items:
+            print(f"{ps/1e9:9.2f} ms  {name[:110]}")
 
 
 def main():
