@@ -139,9 +139,23 @@ def main():
     n_alive = int(np.sum(np.asarray(state.gauss_aux.alive)))
     bucket = scene.bucket_for(n_alive)
 
-    # warmup/compile
+    # warmup/compile at the config ceiling — the probe step whose observed
+    # pair count / rect side feed the same pair/rect ladder the training
+    # driver uses (train.py pair_ladder/rect_ladder), so the measured steps
+    # run at the production arena sizes with overflow still asserted 0
+    from gsavatar.train import pair_ladder, rect_ladder
     state, metrics = train_step(state, cameras[0], jnp.int32(1000), weights,
                                 xyz_lr, active_sh_degree=0, bucket=bucket)
+    jax.block_until_ready(metrics['loss/total_loss'])
+    true_pairs = (int(metrics['raster/n_pairs'])
+                  + int(metrics['overflow/pairs']))
+    pair_bucket = pair_ladder(true_pairs, int(cfg.rasterizer.max_pairs))
+    rect_window = rect_ladder(int(metrics['raster/max_rect_side']),
+                              int(cfg.rasterizer.get('max_rect', 8)))
+    state, metrics = train_step(state, cameras[0], jnp.int32(1000), weights,
+                                xyz_lr, active_sh_degree=0, bucket=bucket,
+                                pair_bucket=pair_bucket,
+                                rect_window=rect_window)
     jax.block_until_ready(metrics['loss/total_loss'])
     overflow = (int(metrics['overflow/pairs']) + int(metrics['overflow/tile'])
                 + int(metrics['overflow/rect']))
@@ -151,7 +165,9 @@ def main():
     for i in range(iters):
         state, metrics = train_step(state, cameras[i % len(cameras)],
                                     jnp.int32(1000 + i), weights, xyz_lr,
-                                    active_sh_degree=0, bucket=bucket)
+                                    active_sh_degree=0, bucket=bucket,
+                                    pair_bucket=pair_bucket,
+                                    rect_window=rect_window)
     jax.block_until_ready(metrics['loss/total_loss'])
     dt = (time.time() - t0) / iters
 
@@ -165,6 +181,9 @@ def main():
                          use_sh=scene.use_sh, bucket=bucket)
     nr_cache = compute_nr_cache(scene.converter, state.conv_params, gview0)
 
+    eval_cfg = scene.raster_config.replace(max_pairs=pair_bucket,
+                                           max_rect=rect_window)
+
     @jax.jit
     def render_one(st, camera):
         gview = G.make_view(st.gauss_params, st.gauss_aux,
@@ -172,7 +191,7 @@ def main():
                             max_sh_degree=scene.max_sh_degree,
                             use_sh=scene.use_sh, bucket=bucket)
         pkg = render(scene.converter, st.conv_params, gview, camera,
-                     jnp.int32(10 ** 9), scene.raster_config,
+                     jnp.int32(10 ** 9), eval_cfg,
                      scene.background, nr_cache=nr_cache)
         return pkg.render
 
@@ -199,6 +218,8 @@ def main():
         "train_ms_per_iter": round(dt * 1000, 1),
         "n_gaussians": n_alive,
         "bucket": bucket,
+        "pair_bucket": pair_bucket,
+        "rect_window": rect_window,
         "overflow": overflow,
         "eval_render_fps": round(eval_fps, 1),
         "eval_fps_vs_paper_50fps": round(eval_fps / EVAL_FPS_TARGET, 3),

@@ -67,6 +67,10 @@ class RasterizeResult(NamedTuple):
     pair_overflow: jnp.ndarray  # () int32
     tile_overflow: jnp.ndarray  # () int32
     rect_dropped: jnp.ndarray   # () int32 (pairs backend max_rect clamp)
+    # () int32 max tiles-per-axis any visible splat spans BEFORE clamping —
+    # the training driver sizes the static rect window (config.max_rect)
+    # from this observation (train.py pair/rect ladder)
+    max_rect_side: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def rasterize(means3d, colors, opacities, cov3d, *, viewmatrix,
@@ -82,8 +86,14 @@ def rasterize(means3d, colors, opacities, cov3d, *, viewmatrix,
         config.width, config.height, active=active,
         means2d_offset=means2d_offset)
 
+    vis = proj.tiles_touched > 0
+    side = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0],
+                       proj.rect_max[:, 1] - proj.rect_min[:, 1])
+    max_side = jnp.max(jnp.where(vis, side, 0)).astype(jnp.int32)
+
     if config.backend.startswith('pallas'):
-        return _rasterize_pairs(proj, colors, opacities, background, config)
+        return _rasterize_pairs(proj, colors, opacities, background, config,
+                                max_side)
 
     assign = _tiling.build_tile_assignment(
         proj, config.grid_x, config.grid_y, config.max_pairs,
@@ -104,7 +114,7 @@ def rasterize(means3d, colors, opacities, cov3d, *, viewmatrix,
         image=comp.image, alpha=comp.alpha, radii=proj.radii,
         n_pairs=assign.n_pairs, pair_overflow=assign.pair_overflow,
         tile_overflow=assign.tile_overflow,
-        rect_dropped=jnp.zeros((), jnp.int32))
+        rect_dropped=jnp.zeros((), jnp.int32), max_rect_side=max_side)
 
 
 def _untile(x, grid_x, grid_y, width, height):
@@ -115,7 +125,8 @@ def _untile(x, grid_x, grid_y, width, height):
     return x.reshape(grid_y * TILE, grid_x * TILE, ch)[:height, :width]
 
 
-def _rasterize_pairs(proj, colors, opacities, background, config):
+def _rasterize_pairs(proj, colors, opacities, background, config,
+                     max_side):
     from . import pairs as _pairs
     from . import pallas_composite as _pc
 
@@ -159,4 +170,4 @@ def _rasterize_pairs(proj, colors, opacities, background, config):
         image=img, alpha=alpha, radii=proj.radii, n_pairs=pa.n_pairs,
         pair_overflow=pa.pair_overflow,
         tile_overflow=jnp.zeros((), jnp.int32),
-        rect_dropped=pa.rect_dropped)
+        rect_dropped=pa.rect_dropped, max_rect_side=max_side)

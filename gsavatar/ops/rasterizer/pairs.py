@@ -204,13 +204,19 @@ def build_pairs(proj: Projection, colors, opacities, grid_x: int, grid_y: int,
     sentinel = (num_tiles << DEPTH_BITS) | DEPTH_LEVELS
     key = jnp.where(valid, (tile << DEPTH_BITS) | dq[:, None, None],
                     sentinel).reshape(-1)
-    gidx = jnp.arange(n_gauss, dtype=jnp.int32)
-    gid = jnp.where(valid, gidx[:, None, None], n_gauss).reshape(-1)
+    # u16 payload when the arena fits (sentinel n_gauss included): 6 B/slot
+    # of candidate-sort traffic instead of 8 — this sort runs over the FULL
+    # N*R^2 candidate grid, the widest array in the pipeline
+    gdtype = jnp.uint16 if n_gauss < (1 << 16) else jnp.int32
+    gidx = jnp.arange(n_gauss, dtype=gdtype)
+    gid = jnp.where(valid, gidx[:, None, None],
+                    jnp.asarray(n_gauss, gdtype)).reshape(-1)
 
     # unstable: order within identical (tile, quantized-depth) keys is
     # arbitrary anyway (the stability iota would be a third sort operand)
     sorted_key, sorted_g = jax.lax.sort((key, gid), num_keys=1,
                                         is_stable=False)
+    sorted_g = sorted_g.astype(jnp.int32)
     sorted_key = sorted_key[:max_pairs]
     sorted_g = sorted_g[:max_pairs]
     sorted_tile = sorted_key >> DEPTH_BITS

@@ -412,7 +412,20 @@ def make_composite_pairs_sharded(num_tiles: int, grid_x: int, mesh,
     forward output is tile-sharded over `model`; the backward psums the
     per-shard pair-gradient slices (each shard writes only rows inside its
     tile ranges, zeroing the rest). Same signature/semantics as
-    make_composite_pairs."""
+    make_composite_pairs.
+
+    Why the pair BUILD stays replicated (measured, round 4): with the
+    driver's pair-arena ladder (train.py pair_ladder) the whole build is a
+    small slice of the step at the bench shape — candidate (key,gid) sort
+    3.9 ms, pair gather ~0.5 ms, pair-gradient sort 0.7 ms, pair segment
+    sum ~0.3 ms out of ~85 ms (tools/trace_step.py) — so partitioning it
+    over M<=8 shards saves at most ~4 ms/chip while requiring either
+    per-shard span capacities (tile ranges are heavily imbalanced — the
+    body concentrates in central tiles) or an all-to-all regroup of
+    locally-sorted runs plus a per-owner merge. The per-GAUSSIAN stages
+    that dominate the step (hash grid, deformers, optimizers) already
+    partition over `model` via the sharding hints. Revisit if the pair
+    count per chip grows ~10x (e.g. multi-avatar scenes)."""
     M = int(mesh.shape['model'])
     assert num_tiles % M == 0, (num_tiles, M)
     tiles_per = num_tiles // M

@@ -100,12 +100,39 @@ def segment_sum_leveled(values, seg_ids_local, level_size: int):
     level-major concatenation of per-level-sorted ids (+ level offsets) is
     globally sorted, so the blocked kernel consumes it unchanged."""
     L, Mp, C = values.shape
+    backend = _backend()
+    if backend.startswith('pallas') and C == 2:
+        # TPU fast path: the hash-table cotangent pair rides the sort as ONE
+        # u32 operand of two packed bf16 lanes and the ids as u16 — 6 B/elem
+        # of sort traffic instead of 12. Precision: tinycudann runs this
+        # entire encoding (tables, features AND gradient accumulation) in
+        # fp16 (network_utils.py:329), so half-precision cotangents are
+        # parity-faithful; the blocked kernel still sums the bf16 inputs
+        # with exact f32 MXU accumulation (no running-sum cancellation).
+        packed = jax.lax.bitcast_convert_type(
+            values.astype(jnp.bfloat16), jnp.uint32)        # (L, Mp)
+        ids16 = seg_ids_local.astype(jnp.uint16)
+        out = jax.lax.sort((ids16, packed), num_keys=1, is_stable=False)
+        offs = (jnp.arange(L, dtype=jnp.int32) * level_size)[:, None]
+        ids_flat = (out[0].astype(jnp.int32) + offs).reshape(-1)
+        # unpack WITHOUT a relayout: a bf16 is the high 16 bits of its f32,
+        # so each column is one elementwise shift+bitcast over the sorted
+        # u32 buffer — contiguous (1, L*Mp) rows for the kernel, no
+        # (M, 2) -> (2, M) transpose pass
+        bits = out[1]
+        col0 = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+        col1 = jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        vals_t = jnp.stack([col0.reshape(-1), col1.reshape(-1)], axis=0)
+        from gsavatar.ops.segsum_pallas import segment_sum_sorted_blocked_t
+        return segment_sum_sorted_blocked_t(
+            vals_t, ids_flat, L * level_size,
+            interpret=backend.endswith('interpret'))
     vt = values.transpose(2, 0, 1)      # one relayout pass, contiguous rows
     cols = [vt[i] for i in range(C)]
     out = jax.lax.sort((seg_ids_local, *cols), num_keys=1, is_stable=False)
     offs = (jnp.arange(L, dtype=jnp.int32) * level_size)[:, None]
     ids_flat = (out[0] + offs).reshape(-1)
-    backend = _backend()
     if backend.startswith('pallas'):
         from gsavatar.ops.segsum_pallas import segment_sum_sorted_blocked_t
         vals_t = jnp.stack([c.reshape(-1) for c in out[1:]], axis=0)

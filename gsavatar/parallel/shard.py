@@ -95,12 +95,19 @@ def make_sharded_train_step(scene: Scene, mesh: Mesh):
     batch_sharding = NamedSharding(mesh, P('data'))
 
     @functools.partial(jax.jit,
-                       static_argnames=('active_sh_degree', 'bucket'),
+                       static_argnames=('active_sh_degree', 'bucket',
+                                        'pair_bucket', 'rect_window'),
                        donate_argnums=(0,))
     def train_step(state: TrainState, cameras, iteration, weights, xyz_lr,
-                   active_sh_degree: int = 0, bucket: int = 0):
+                   active_sh_degree: int = 0, bucket: int = 0,
+                   pair_bucket: int = 0, rect_window: int = 0):
         if not bucket:
             bucket = int(state.gauss_params.xyz.shape[0])
+        r_cfg = scene.raster_config
+        if pair_bucket:
+            r_cfg = r_cfg.replace(max_pairs=pair_bucket)
+        if rect_window:
+            r_cfg = r_cfg.replace(max_rect=rect_window)
         rng, step_key = jax.random.split(state.rng)
         B = cameras.image.shape[0]
         keys = jax.random.split(step_key, B)
@@ -119,7 +126,7 @@ def make_sharded_train_step(scene: Scene, mesh: Mesh):
                 k_noise, k_skin = jax.random.split(key)
                 return loss_core(conv_params, gp, alive_b, nn_ix_b, m2d,
                                  camera, iteration, weights, k_noise, k_skin,
-                                 active_sh_degree)
+                                 active_sh_degree, raster_cfg=r_cfg)
 
             (losses, (metrics, radii)) = jax.vmap(one)(
                 cameras, keys, means2d_offsets)

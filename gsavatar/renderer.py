@@ -29,6 +29,8 @@ class RenderPackage(NamedTuple):
     pair_overflow: Any
     tile_overflow: Any
     rect_dropped: Any
+    n_pairs: Any             # () int32 real (tile,splat) pair count
+    max_rect_side: Any       # () int32 pre-clamp max tiles-per-axis
 
     @property
     def render_chw(self):
@@ -67,4 +69,5 @@ def render(converter, conv_params, gaussians: Gaussians, camera, iteration,
         visibility_filter=res.radii > 0, radii=res.radii,
         loss_reg=loss_reg, deformed_gaussians=deformed, colors=colors,
         pair_overflow=res.pair_overflow, tile_overflow=res.tile_overflow,
-        rect_dropped=res.rect_dropped)
+        rect_dropped=res.rect_dropped, n_pairs=res.n_pairs,
+        max_rect_side=res.max_rect_side)

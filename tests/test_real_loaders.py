@@ -224,6 +224,7 @@ class TestZJUMoCapDataset:
         pts2, _ = ds.readPointCloud()  # second call reads the ply cache
         np.testing.assert_allclose(pts, pts2, atol=1e-6)
 
+    @pytest.mark.slow  # full jitted train-step compile (~1 min on 2 CPUs)
     def test_three_train_steps(self, zju_root):
         from gsavatar.scene import Scene
         from gsavatar.train import make_train_step, loss_weights

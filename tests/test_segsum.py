@@ -65,3 +65,30 @@ class TestUnsortedSegmentSum:
             jnp.asarray(vals), jnp.asarray(ids), S))
         np.testing.assert_allclose(got, _ref(ids, vals, S),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestLeveledPackedTPUPath:
+    def test_packed_bf16_path_matches_oracle(self, monkeypatch):
+        """The TPU fast path of segment_sum_leveled (u16 ids + one packed
+        bf16-pair u32 riding the sort — 6 B/elem of sort traffic) must sum
+        the bf16-rounded cotangents EXACTLY (f32 MXU accumulation in the
+        blocked kernel), and stay within bf16 rounding of the f64 oracle.
+        tinycudann runs the whole hash encoding incl. gradient accumulation
+        in fp16, so half-precision cotangents are parity-faithful."""
+        monkeypatch.setenv("GSAVATAR_SEGSUM", "pallas_interpret")
+        import numpy as np
+        import jax.numpy as jnp
+        from gsavatar.ops.segsum import segment_sum_leveled
+
+        rng = np.random.default_rng(0)
+        L, Mp, T = 4, 2048, 512
+        vals = jnp.asarray(rng.standard_normal((L, Mp, 2)), jnp.float32)
+        ids = jnp.asarray(rng.integers(0, T, (L, Mp)), jnp.int32)
+        out = np.asarray(segment_sum_leveled(vals, ids, T))
+        v16 = np.asarray(vals.astype(jnp.bfloat16).astype(jnp.float32),
+                         np.float64)
+        ref = np.zeros((L * T, 2), np.float64)
+        ii = np.asarray(ids)
+        for l in range(L):
+            np.add.at(ref, l * T + ii[l], v16[l])
+        np.testing.assert_allclose(out, ref, atol=1e-5)

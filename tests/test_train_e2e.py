@@ -67,6 +67,7 @@ class TestTrainStep:
         assert int(metrics['overflow/pairs']) == 0
         assert int(metrics['overflow/tile']) == 0
 
+    @pytest.mark.slow  # extra train-step compile variant (~1 min on 2 CPUs)
     def test_bucketed_step_matches_full(self, scene_state):
         """A step over the alive-prefix bucket must match the full-capacity
         step (dead slots contribute nothing)."""
@@ -92,6 +93,7 @@ class TestTrainStep:
             np.asarray(sb.gauss_aux.xyz_gradient_accum),
             rtol=1e-4, atol=1e-7)
 
+    @pytest.mark.slow  # extra train-step compile variant (~1 min on 2 CPUs)
     def test_densify_and_reset(self, scene_state):
         cfg, scene, state = scene_state
         step = make_train_step(scene)
@@ -178,6 +180,7 @@ class TestTrainingLoop:
 
 
 class TestNrCache:
+    @pytest.mark.slow  # compiles a second render variant
     def test_cached_encoding_matches_uncached_render(self, scene_state):
         """The eval-time hash-grid encoding cache (canonical positions are
         frozen at eval) must reproduce the uncached render exactly."""

@@ -85,9 +85,18 @@ def main():
     bucket = scene.bucket_for(n_alive)
     print(f"bucket={bucket}", flush=True)
 
-    # warmup/compile
+    # warmup/compile + pair/rect ladder probe (same sizing as the driver)
+    from gsavatar.train import pair_ladder, rect_ladder
     state, metrics = train_step(state, camera, jnp.int32(1000), weights,
                                 xyz_lr, active_sh_degree=0, bucket=bucket)
+    jax.block_until_ready(metrics['loss/total_loss'])
+    pb = pair_ladder(int(metrics['raster/n_pairs'])
+                     + int(metrics['overflow/pairs']), args.pairs)
+    rw = rect_ladder(int(metrics['raster/max_rect_side']), 8)
+    print(f"pair_bucket={pb} rect_window={rw}", flush=True)
+    state, metrics = train_step(state, camera, jnp.int32(1000), weights,
+                                xyz_lr, active_sh_degree=0, bucket=bucket,
+                                pair_bucket=pb, rect_window=rw)
     jax.block_until_ready(metrics['loss/total_loss'])
 
     t0 = time.time()
@@ -95,7 +104,8 @@ def main():
     for i in range(args.steps):
         state, metrics = train_step(state, camera, jnp.int32(1001 + i),
                                     weights, xyz_lr, active_sh_degree=0,
-                                    bucket=bucket)
+                                    bucket=bucket, pair_bucket=pb,
+                                    rect_window=rw)
     jax.block_until_ready(metrics['loss/total_loss'])
     jax.profiler.stop_trace()
     print(f"{args.steps} steps in {(time.time()-t0)*1000:.0f} ms traced",
