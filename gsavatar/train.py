@@ -610,13 +610,17 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
                 if raster_auto:
                     # clones/splits grow the pair count roughly with the
                     # alive count — re-aim the arena before the next step
-                    tp = (float(metrics['raster/n_pairs'])
-                          + float(metrics['overflow/pairs']))
+                    mh = jax.device_get({
+                        k: metrics[k] for k in
+                        ('raster/n_pairs', 'overflow/pairs', 'n_alive',
+                         'raster/max_rect_side')})
+                    tp = float(mh['raster/n_pairs']) + float(
+                        mh['overflow/pairs'])
                     grow = max(1.0, new_alive
-                               / max(float(metrics['n_alive']), 1.0))
+                               / max(float(mh['n_alive']), 1.0))
                     pair_bucket = _pair_ladder(tp * grow)
                     rect_window = _rect_ladder(
-                        float(metrics['raster/max_rect_side']))
+                        float(mh['raster/max_rect_side']))
 
             if do_reset:
                 state = opacity_reset_step(state)
@@ -630,7 +634,12 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
                 t0 = time.time()  # don't count validation in iter_time
 
             if iteration % log_every == 0 or iteration == 1:
-                m = {k: float(v) for k, v in metrics.items()}
+                # ONE device_get for the whole metrics dict: per-scalar
+                # float() is ~25 separate device->host round trips, which
+                # through the remote-chip tunnel cost ~0.8 s per log step
+                # (measured +80 ms/it amortized at log_every=10)
+                m = {k: float(v) for k, v in
+                     jax.device_get(metrics).items()}
                 m['iter_time'] = (time.time() - t0) / log_every * 1000.0
                 if logger:
                     logger.log(iteration, m)
@@ -689,7 +698,10 @@ def main(argv=None):
     cfg = load_config(overrides=overrides)
     cfg['exp_dir'] = cfg.get('exp_dir') or os.path.join('exp', str(cfg.name))
     print(f"Optimizing {cfg.exp_dir}")
-    training(cfg)
+    # log_every also sets the host<->device sync cadence: every log step
+    # drains the async dispatch pipeline (one tunnel round trip), so remote
+    # chips prefer a coarser cadence (e.g. log_every=50)
+    training(cfg, log_every=int(cfg.get('log_every', 10) or 10))
     print("\nTraining complete.")
 
 
