@@ -149,20 +149,36 @@ def _conv(x, w, b, stride, pad):
     return y + b.reshape(1, -1, 1, 1)
 
 
-def _net_features(x, wts, net: str):
+def _net_features(x, wts, net: str, compute_dtype=None):
+    """On TPU the backbone runs in bfloat16 (activations AND weights): the
+    (1,64,256,256) f32 activation buffers between conv fusions were
+    ~3 ms/step of pure HBM traffic, and the perceptual term is a 1e-2
+    weighted trained-feature distance — half precision is well inside its
+    noise floor. Feature maps are cast back to f32 for the normalize /
+    diff / lin head so the metric value stays f32. CPU (tests, exports)
+    keeps f32 end to end."""
+    if compute_dtype is None:
+        compute_dtype = (jnp.bfloat16
+                         if jax.default_backend() in ('tpu', 'axon')
+                         else jnp.float32)
+    x = x.astype(compute_dtype)
     feats = []
     i = 0
     for stage in _NETS[net]:
         if stage['pool'] is not None:
             k, s = stage['pool']
+            # init must be a concrete scalar (a traced init breaks the
+            # reduce_window autodiff rule); the weak-typed python float
+            # follows x's dtype
             x = jax.lax.reduce_window(
                 x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, s, s),
                 'VALID')
         for ch, kk, st, pd in stage['convs']:
-            x = _conv(x, wts[f'conv{i}_w'], wts[f'conv{i}_b'], st, pd)
+            x = _conv(x, wts[f'conv{i}_w'].astype(compute_dtype),
+                      wts[f'conv{i}_b'].astype(compute_dtype), st, pd)
             x = jax.nn.relu(x)
             i += 1
-        feats.append(x)
+        feats.append(x.astype(jnp.float32))
     return feats
 
 
