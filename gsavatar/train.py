@@ -512,8 +512,23 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
     cfg_max_rect = int(cfg.rasterizer.get('max_rect', 8))
     pair_bucket = 0
     rect_window = 0
-    _pair_ladder = lambda tp: pair_ladder(tp, cfg_max_pairs)
-    _rect_ladder = lambda side: rect_ladder(side, cfg_max_rect)
+
+    # hysteresis: growth applies immediately (correctness), shrink only
+    # when the target drops clearly below the current rung — a borderline
+    # workload oscillating between two rungs costs one multi-minute
+    # compile per flip (observed rect 8->7->8 in the first 15k run)
+    def _pair_ladder(tp):
+        new = pair_ladder(tp, cfg_max_pairs)
+        if pair_bucket and new < pair_bucket:
+            if pair_ladder(1.25 * tp, cfg_max_pairs) >= pair_bucket:
+                return pair_bucket
+        return new
+
+    def _rect_ladder(side):
+        new = rect_ladder(side, cfg_max_rect)
+        if rect_window and new == rect_window - 1:
+            return rect_window
+        return new
 
     rng = np.random.default_rng(max(int(cfg.get('seed', -1)), 0))
     data_stack: list = []
@@ -598,6 +613,18 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
                     'compile/variant': list(variant),
                     'compile/dispatch_s': round(time.time() - t_compile, 2)})
 
+            # in-loop validation (reference train.py:211,236-297) — BEFORE
+            # densify/reset, like the reference: validating after the
+            # opacity reset at a reset iteration would measure the
+            # just-zeroed opacities (observed -5 dB artifact at iter 3000)
+            if (test_interval > 0 and iteration % test_interval == 0) \
+                    or iteration in test_iterations:
+                validation(state, iteration, logger, exp_dir,
+                           save_images=bool(cfg.get('save_val_images',
+                                                    False)),
+                           max_val_frames=max_val_frames, bucket=bucket)
+                t0 = time.time()  # don't count validation in iter_time
+
             if do_densify:
                 key = jax.random.PRNGKey(iteration)
                 state, dinfo = densify_step(state, key, use_ss)
@@ -624,14 +651,6 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
 
             if do_reset:
                 state = opacity_reset_step(state)
-
-            # in-loop validation (reference train.py:211,236-297)
-            if (test_interval > 0 and iteration % test_interval == 0) \
-                    or iteration in test_iterations:
-                validation(state, iteration, logger, exp_dir,
-                           save_images=bool(cfg.get('save_val_images', False)),
-                           max_val_frames=max_val_frames, bucket=bucket)
-                t0 = time.time()  # don't count validation in iter_time
 
             if iteration % log_every == 0 or iteration == 1:
                 # ONE device_get for the whole metrics dict: per-scalar
