@@ -240,10 +240,12 @@ class Scene:
 
     def bucket_for(self, n_alive: int) -> int:
         """Alive-prefix bucket: n_alive rounded up to opt.bucket_granularity
-        (0 disables bucketing -> full capacity). Coarse granularity keeps the
-        number of distinct compiled step shapes small; the persistent
-        compilation cache absorbs the retraces."""
-        g = int(self.cfg.opt.get('bucket_granularity', 8192))
+        (0 disables bucketing -> full capacity). Trade-off: finer granularity
+        shrinks EVERY per-gaussian stage (4096 leaves <8% padding at the
+        bench's 50k vs 14.7% at 8192 — measured ~3 ms/step) but compiles
+        more step variants over a long run; the persistent compilation
+        cache absorbs repeats."""
+        g = int(self.cfg.opt.get('bucket_granularity', 4096))
         if g <= 0:
             return self.capacity
         import math
