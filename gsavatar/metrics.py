@@ -72,7 +72,10 @@ class Evaluator:
             if valid_mask is not None:
                 y0, y1, x0, x1 = _bbox_of_mask(np.asarray(valid_mask))
                 a, b = a[y0:y1, x0:x1], b[y0:y1, x0:x1]
-            out[key] = float(lpips_mod.lpips(a, b, net=self.lpips_net))
+            # metric path pins f32 — the bf16 TPU default is training-loss
+            # only (ops/lpips.py, ADVICE r4)
+            out[key] = float(lpips_mod.lpips(a, b, net=self.lpips_net,
+                                             compute_dtype=jnp.float32))
         return out
 
 
@@ -92,7 +95,8 @@ class PSEvaluator(Evaluator):
                 _warn_random_once(self.lpips_net)
             out[key] = float(lpips_mod.lpips(jnp.asarray(img),
                                              jnp.asarray(gt),
-                                             net=self.lpips_net))
+                                             net=self.lpips_net,
+                                             compute_dtype=jnp.float32))
         return out
 
 

@@ -23,6 +23,7 @@ from gsavatar.utils import transforms as T
 from .hashgrid import HashGrid
 from .mlp import HannwCondMLP, VanillaCondMLP
 from .pose_encoder import HierarchicalPoseEncoder
+from .subject import subject_const
 
 
 def _apply_deltas(gaussians: Gaussians, delta_xyz, delta_scale, delta_rot,
@@ -99,6 +100,11 @@ class _CondDeformBase(nn.Module):
     rot_offset: str = 'mult'
     pose_encoder_cfg: dict = None
 
+    def _aabb(self):
+        """Canonical AABB through the 'subject' collection (subject.py) so
+        multi-subject steps can vary it per vmap lane."""
+        return subject_const(self, 'aabb', self.aabb)
+
     def _pose_feat(self, camera, latent_idx):
         cfg = self.pose_encoder_cfg or {}
         enc = HierarchicalPoseEncoder(
@@ -136,7 +142,7 @@ class MLPNonRigid(_CondDeformBase):
     def __call__(self, gaussians: Gaussians, camera, iteration, latent_idx,
                  nr_cache=None):
         pose_feat = self._pose_feat(camera, latent_idx)
-        xyz_norm = self.aabb.normalize(gaussians.get_xyz, sym=True)
+        xyz_norm = self._aabb().normalize(gaussians.get_xyz, sym=True)
         cfg = self.mlp_cfg
         d_out = 10 + self.feature_dim
         d_cond = pose_feat.shape[-1]
@@ -183,7 +189,7 @@ class HashGridNonRigid(_CondDeformBase):
             # module init.
             feature = nr_cache
         else:
-            xyz_norm = self.aabb.normalize(gaussians.get_xyz, sym=True)
+            xyz_norm = self._aabb().normalize(gaussians.get_xyz, sym=True)
             feature = make_hashgrid(self.hashgrid_cfg)(xyz_norm)
         cfg = self.mlp_cfg
         d_out = 10 + self.feature_dim
@@ -210,7 +216,7 @@ class HannwMLPNonRigid(_CondDeformBase):
     def __call__(self, gaussians: Gaussians, camera, iteration, latent_idx,
                  nr_cache=None):
         pose_feat = self._pose_feat(camera, latent_idx)
-        xyz_norm = self.aabb.normalize(gaussians.get_xyz, sym=True)
+        xyz_norm = self._aabb().normalize(gaussians.get_xyz, sym=True)
         cfg = self.mlp_cfg
         deltas = HannwCondMLP(
             dim_in=3, dim_cond=pose_feat.shape[-1], dim_out=10,

@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from gsavatar.smpl import lbs as smpl_lbs
 from gsavatar.smpl.vitruvian import get_02v_bone_transforms_jax
+from .subject import subject_const
 
 
 class NoPoseCorrection(nn.Module):
@@ -40,7 +41,13 @@ class DirectPoseOptimization(nn.Module):
     delay: int = 0
 
     def _forward_smpl(self, betas, root_orient, pose_body, pose_hand, trans):
-        c = self.smpl_consts
+        # SMPL template tables through the 'subject' collection so a
+        # multi-subject step can vary them per vmap lane; 'parents' (tree
+        # topology) stays static — identical for every SMPL subject
+        c = dict(self.smpl_consts)
+        for k in ('v_template', 'shapedirs', 'posedirs', 'J_regressor',
+                  'lbs_weights'):
+            c[k] = subject_const(self, k, c[k])
         full_pose = jnp.concatenate([root_orient, pose_body, pose_hand],
                                     axis=-1)
         (verts, Jtrs_posed, Jtrs, A, _absA, v_posed, v_shaped,

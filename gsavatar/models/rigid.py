@@ -24,6 +24,7 @@ from gsavatar.ops import knn
 from gsavatar.ops.interp import grid_sample_3d
 from gsavatar.utils import transforms as T
 from .mlp import VanillaCondMLP
+from .subject import subject_const
 
 
 def hierarchical_softmax(x):
@@ -89,10 +90,14 @@ class SMPLNN(nn.Module):
     smpl_verts: Any      # (V, 3) jnp
     skinning_weights: Any  # (V, 24) jnp
 
+    @nn.compact
     def __call__(self, gaussians: Gaussians, camera, iteration) -> Gaussians:
         xyz = gaussians.get_xyz
-        idx = knn.nn_index(xyz, self.smpl_verts)
-        pts_W = self.skinning_weights[idx]                    # (N, 24)
+        verts = subject_const(self, 'smpl_verts', self.smpl_verts)
+        weights = subject_const(self, 'skinning_weights',
+                                self.skinning_weights)
+        idx = knn.nn_index(xyz, verts)
+        pts_W = weights[idx]                                  # (N, 24)
         B = camera.bone_transforms.reshape(-1, 16)            # (24, 16)
         T_fwd = (pts_W @ B).reshape(-1, 4, 4)
         return _apply_fwd_transform(gaussians, T_fwd)
@@ -116,6 +121,14 @@ class SkinningField(nn.Module):
             dim_in=3, dim_cond=0, dim_out=self.d_out,
             n_neurons=self.n_neurons, n_hidden_layers=self.n_hidden_layers,
             multires=self.multires, name="lbs_network")
+        # setup-style module: variables must be declared here, not in
+        # __call__ (flax rule); the read still goes through subject_const's
+        # has_variable path
+        if self.is_mutable_collection('subject') \
+                and not self.has_variable('subject', 'aabb'):
+            import jax as _jax
+            self.variable('subject', 'aabb',
+                          lambda: _jax.tree.map(jnp.asarray, self.aabb))
 
     def _softmax(self, logits):
         if logits.shape[-1] == 25:
@@ -143,7 +156,8 @@ class SkinningField(nn.Module):
         return self._softmax(logits)
 
     def __call__(self, gaussians: Gaussians, camera, iteration) -> Gaussians:
-        xyz_norm = self.aabb.normalize(gaussians.get_xyz, sym=True)
+        aabb = subject_const(self, 'aabb', self.aabb)
+        xyz_norm = aabb.normalize(gaussians.get_xyz, sym=True)
         pts_W = self.query_weights(xyz_norm)
         B = camera.bone_transforms.reshape(-1, 16)
         T_fwd = (pts_W @ B).reshape(-1, 4, 4)

@@ -20,6 +20,7 @@ from gsavatar.core.gaussians import Gaussians
 from gsavatar.ops import sh as sh_ops
 from gsavatar.utils import transforms as T
 from .mlp import VanillaCondMLP
+from .subject import subject_const
 
 
 def _view_dirs(gaussians: Gaussians, camera, cano_view_dir: bool,
@@ -70,7 +71,8 @@ class ColorMLP(nn.Module):
         n = feats.shape[0]
         parts = [feats]
         if self.use_xyz:
-            parts.append(self.aabb.normalize(gaussians.get_xyz, sym=True))
+            aabb = subject_const(self, 'aabb', self.aabb)
+            parts.append(aabb.normalize(gaussians.get_xyz, sym=True))
         if self.use_cov:
             parts.append(gaussians.get_covariance())
         if self.use_normal:

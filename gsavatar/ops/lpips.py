@@ -183,8 +183,14 @@ def _net_features(x, wts, net: str, compute_dtype=None):
 
 
 def lpips(img1, img2, weights=None, normalize: bool = True,
-          net: str = 'vgg'):
-    """img (H, W, 3) in [0,1] (normalize=True) or [-1,1]. Returns scalar."""
+          net: str = 'vgg', compute_dtype=None):
+    """img (H, W, 3) in [0,1] (normalize=True) or [-1,1]. Returns scalar.
+
+    compute_dtype: backbone precision. None = platform default (bf16 on
+    TPU for the 1e-2-weighted TRAINING loss, f32 elsewhere). Validation /
+    eval metric entry points pass jnp.float32 explicitly so reported
+    val/test LPIPS carries no bf16 backbone noise relative to the
+    reference's f32 torch LPIPS (ADVICE r4)."""
     wts = weights if weights is not None else get_weights(net=net)
     if wts is None:
         raise RuntimeError("LPIPS weights not available "
@@ -197,8 +203,8 @@ def lpips(img1, img2, weights=None, normalize: bool = True,
         return (x - jnp.asarray(_SHIFT).reshape(1, 3, 1, 1)) \
             / jnp.asarray(_SCALE).reshape(1, 3, 1, 1)
 
-    f1 = _net_features(prep(img1), wts, net)
-    f2 = _net_features(prep(img2), wts, net)
+    f1 = _net_features(prep(img1), wts, net, compute_dtype=compute_dtype)
+    f2 = _net_features(prep(img2), wts, net, compute_dtype=compute_dtype)
     total = 0.0
     for li, (a, b) in enumerate(zip(f1, f2)):
         a = a / jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True) + 1e-10)

@@ -101,7 +101,11 @@ def segment_sum_leveled(values, seg_ids_local, level_size: int):
     globally sorted, so the blocked kernel consumes it unchanged."""
     L, Mp, C = values.shape
     backend = _backend()
-    if backend.startswith('pallas') and C == 2:
+    # u16 ids hold values < 2^16: the default log2_hashmap_size=16 fits
+    # exactly (ids <= 65535); a config raising it past 16 would silently
+    # wrap and corrupt hash-grid gradients, so gate like pairs.py's u16
+    # guard and fall through to the int32 path (ADVICE r4)
+    if backend.startswith('pallas') and C == 2 and level_size <= (1 << 16):
         # TPU fast path: the hash-table cotangent pair rides the sort as ONE
         # u32 operand of two packed bf16 lanes and the ids as u16 — 6 B/elem
         # of sort traffic instead of 12. Precision: tinycudann runs this

@@ -130,8 +130,21 @@ def make_sharded_train_step(scene: Scene, mesh: Mesh):
 
             (losses, (metrics, radii)) = jax.vmap(one)(
                 cameras, keys, means2d_offsets)
-            mean_metrics = jax.tree.map(jnp.mean, metrics)
-            return jnp.mean(losses), (mean_metrics, radii)
+            # batch reduction respects each metric's semantics: the ladder
+            # (train.py) sizes the pair arena / rect window for the WORST
+            # camera in the batch, so max-like stats reduce with max and
+            # dropped-work counters with sum — a jnp.mean here would
+            # persistently under-size the arena for any camera above the
+            # batch mean (silent splat cropping; ADVICE r4). Losses/psnr
+            # keep the batch mean.
+            def reduce_metric(key, v):
+                if key.startswith('overflow/'):
+                    return jnp.sum(v)
+                if key in ('raster/n_pairs', 'raster/max_rect_side'):
+                    return jnp.max(v)
+                return jnp.mean(v)
+            red_metrics = {k: reduce_metric(k, v) for k, v in metrics.items()}
+            return jnp.mean(losses), (red_metrics, radii)
 
         means2d_zero = jnp.zeros((B, bucket, 2))
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)

@@ -61,11 +61,16 @@ def converter_optimizer(cfg, iterations: int) -> optax.GradientTransformation:
         'pose_correction': group(opt.get('pose_correction_lr', 0.0)),
         'texture': group(opt.get('texture_lr', 0.0)),
         'tex_latent': group(opt.get('tex_latent_lr', 0.0), wd),
+        # the 'subject' collection (models/subject.py) carries per-subject
+        # constants — stacked/sharded/checkpointed but never trained
+        'frozen': optax.set_to_zero(),
     }
 
     def label_fn(params):
         def label(path):
             names = [str(p) for p in path]
+            if names and names[0] == 'subject':
+                return 'frozen'
             top = names[1] if names and names[0] == 'params' else names[0]
             is_latent = any(n == 'latent' for n in names)
             if top == 'rigid':

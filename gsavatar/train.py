@@ -36,6 +36,10 @@ LOSS_WEIGHT_KEYS = ("lambda_l1", "lambda_dssim", "lambda_perceptual",
                     "lambda_aiap_cov", "lambda_pose", "lambda_nr_xyz",
                     "lambda_nr_scale", "lambda_nr_rot", "lambda_opacity")
 
+# metrics the pair/rect ladder + overflow alarm consume off-log-boundary
+LADDER_KEYS = ("raster/n_pairs", "raster/max_rect_side", "overflow/pairs",
+               "overflow/tile", "overflow/rect")
+
 
 def loss_weights(cfg, iteration: int) -> dict:
     out = {}
@@ -343,8 +347,12 @@ def make_validation(scene: Scene):
                'ssim': ssim(img, gt)}
         if lpips_key is not None:
             # keyed by weight source: 'lpips' only for exported pretrained
-            # weights, 'lpips_rand' for the documented random fallback
-            out[lpips_key] = lpips_mod.lpips(img, gt)
+            # weights, 'lpips_rand' for the documented random fallback.
+            # f32 backbone: the bf16 TPU default is for the 1e-2-weighted
+            # training loss only; the reported metric stays reference-
+            # comparable f32 (ADVICE r4)
+            out[lpips_key] = lpips_mod.lpips(img, gt,
+                                             compute_dtype=jnp.float32)
         return out, img
 
     @jax.jit
@@ -387,8 +395,13 @@ def make_validation(scene: Scene):
                     d = os.path.join(exp_dir, 'validation',
                                      f'iter_{iteration}')
                     os.makedirs(d, exist_ok=True)
+                    # evidence strip: GT | render | 5x|error| side by side
+                    r = np.asarray(img)
+                    g = np.clip(np.asarray(camera.image), 0.0, 1.0)
+                    err = np.clip(5.0 * np.abs(r - g), 0.0, 1.0)
+                    strip = np.concatenate([g, r, err], axis=1)
                     Image.fromarray(
-                        (np.asarray(img) * 255).astype(np.uint8)).save(
+                        (strip * 255).astype(np.uint8)).save(
                         os.path.join(d, f'{name}_{camera.image_name}.png'))
             for k, v in acc.items():
                 results[f'val/{name}_{k}'] = float(np.mean(v))
@@ -512,6 +525,7 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
     cfg_max_rect = int(cfg.rasterizer.get('max_rect', 8))
     pair_bucket = 0
     rect_window = 0
+    ladder_every = min(log_every, 10)
 
     # hysteresis: growth applies immediately (correctness), shrink only
     # when the target drops clearly below the current rung — a borderline
@@ -652,7 +666,16 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
             if do_reset:
                 state = opacity_reset_step(state)
 
-            if iteration % log_every == 0 or iteration == 1:
+            # ladder/overflow cadence is capped at 10 iterations even when
+            # log_every is coarser (remote chips run log_every=50): with the
+            # check only at log boundaries, a pair/rect spike could drop or
+            # crop splats for up to log_every-1 iterations before the ladder
+            # grows (ADVICE r4). The off-boundary fetch pulls only the 5
+            # ladder keys — one device round trip, ~ms through the tunnel.
+            is_log = iteration % log_every == 0 or iteration == 1
+            is_ladder = raster_auto and iteration % ladder_every == 0
+            m = None
+            if is_log:
                 # ONE device_get for the whole metrics dict: per-scalar
                 # float() is ~25 separate device->host round trips, which
                 # through the remote-chip tunnel cost ~0.8 s per log step
@@ -662,14 +685,25 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
                 m['iter_time'] = (time.time() - t0) / log_every * 1000.0
                 if logger:
                     logger.log(iteration, m)
+            elif is_ladder:
+                m = {k: float(v) for k, v in jax.device_get(
+                    {k: metrics[k] for k in LADDER_KEYS
+                     if k in metrics}).items()}
+            if m is not None:
                 # fail-loudly on dropped work: the reference never drops splats,
                 # so a nonzero overflow counter is a silent quality divergence
                 if raster_auto:
                     true_pairs = (m.get('raster/n_pairs', 0)
                                   + m.get('overflow/pairs', 0))
-                    pair_bucket = _pair_ladder(true_pairs)
-                    rect_window = _rect_ladder(
+                    new_pair = _pair_ladder(true_pairs)
+                    new_rect = _rect_ladder(
                         m.get('raster/max_rect_side', cfg_max_rect))
+                    if new_pair > pair_bucket or new_rect > rect_window:
+                        # growth clears (or should clear) the overflow —
+                        # re-arm so a RECURRING overflow after growth prints
+                        # again instead of hiding behind the one-shot latch
+                        overflow_alarmed = False
+                    pair_bucket, rect_window = new_pair, new_rect
                 n_over = (m.get('overflow/pairs', 0) + m.get('overflow/tile', 0)
                           + m.get('overflow/rect', 0))
                 if n_over > 0 and not overflow_alarmed:
@@ -683,6 +717,7 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
                     print(msg, flush=True)
                     if bool(cfg.get('strict_overflow', False)):
                         raise RuntimeError(msg)
+            if is_log:
                 if progress and (iteration % (log_every * 10) == 0
                                  or iteration == 1):
                     print(f"[{iteration}/{iterations}] "
