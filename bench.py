@@ -109,6 +109,158 @@ def parity_check():
             "parity_grad_mean_rel": round(grad_rel, 7)}
 
 
+def _flat(tree):
+    import jax.numpy as jnp
+    leaves = [x.reshape(-1).astype(jnp.float32)
+              for x in jax.tree.leaves(tree)]
+    return jnp.concatenate(leaves) if leaves else jnp.zeros((1,))
+
+
+def _cosine(a, b):
+    import jax.numpy as jnp
+    return float(jnp.dot(a, b)
+                 / (jnp.linalg.norm(a) * jnp.linalg.norm(b) + 1e-20))
+
+
+def precision_gate(scene, state, camera, weights, bucket, pair_bucket,
+                   rect_window):
+    """On-chip numerics gate beyond the rasterizer (VERDICT r4 #3): the
+    SHIPPED precision config (bf16 LPIPS backbone, default matmul
+    precision) vs an all-f32/HIGHEST trace of the SAME train-step loss.
+    Reports (a) the bf16-vs-f32 LPIPS term delta (value + gradient cosine)
+    at the bench crop shape, and (b) the full loss/grad agreement.
+    Tolerances (asserted into the ok flag): loss rel delta < 1e-2, grad
+    cosine > 0.99 — the perceptual term is 1e-2-weighted and bf16 noise is
+    well inside its floor; a silent precision regression (wrong dtype on a
+    hot matmul, a bf16 cast on the metric path) breaks the cosine first."""
+    import jax.numpy as jnp
+    from gsavatar.train import make_loss_fn
+    from gsavatar.ops import lpips as lpips_mod
+    from gsavatar import losses as L
+
+    loss_core = make_loss_fn(scene)
+    sl = lambda tree: jax.tree.map(lambda x: x[:bucket], tree)
+    params_b = sl(state.gauss_params)
+    alive_b = state.gauss_aux.alive[:bucket]
+    nn_ix_b = state.gauss_aux.nn_ix[:bucket]
+    r_cfg = scene.raster_config.replace(max_pairs=pair_bucket,
+                                        max_rect=rect_window)
+    k = jax.random.PRNGKey(123)
+    k_noise, k_skin = jax.random.split(k)
+    m2d = jnp.zeros((bucket, 2))
+
+    def loss_of(conv_params, gauss_params):
+        loss, _ = loss_core(conv_params, gauss_params, alive_b, nn_ix_b,
+                            m2d, camera, jnp.int32(1000), weights,
+                            k_noise, k_skin, 0, raster_cfg=r_cfg)
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_of, argnums=(0, 1))
+
+    def run_shipped():
+        f = jax.jit(lambda c, g: grad_fn(c, g))
+        return jax.block_until_ready(f(state.conv_params, params_b))
+
+    def run_f32():
+        def f32_fn(c, g):
+            with jax.default_matmul_precision('highest'):
+                return grad_fn(c, g)
+        f = jax.jit(f32_fn)
+        return jax.block_until_ready(f(state.conv_params, params_b))
+
+    l_ship, g_ship = run_shipped()
+    os.environ['GSAVATAR_LPIPS_DTYPE'] = 'float32'
+    try:
+        l_f32, g_f32 = run_f32()
+    finally:
+        os.environ.pop('GSAVATAR_LPIPS_DTYPE', None)
+
+    loss_rel = abs(float(l_ship) - float(l_f32)) / max(abs(float(l_f32)),
+                                                       1e-8)
+    cos = _cosine(_flat(g_ship), _flat(g_f32))
+
+    # (a) isolated LPIPS term at the bench crop shape: value + grad cosine
+    fg_r, fg_gt = L.foreground_crop(
+        jnp.clip(camera.image + 0.05, 0, 1), camera.image, camera.mask,
+        (256, 256))
+
+    def lp(dtype):
+        f = jax.jit(jax.value_and_grad(
+            lambda a: lpips_mod.lpips(a, fg_gt, compute_dtype=dtype)))
+        return jax.block_until_ready(f(fg_r))
+
+    v16, g16 = lp(jnp.bfloat16)
+    v32, g32 = lp(jnp.float32)
+    lp_rel = abs(float(v16) - float(v32)) / max(abs(float(v32)), 1e-8)
+    lp_cos = _cosine(g16.reshape(-1), g32.reshape(-1))
+    ok = loss_rel < 1e-2 and cos > 0.99 and lp_rel < 0.05 and lp_cos > 0.98
+    return {
+        "precision_check": "ok" if ok else "FAIL",
+        "precision_loss_rel_delta": round(loss_rel, 6),
+        "precision_grad_cosine": round(cos, 6),
+        "lpips_bf16_rel_delta": round(lp_rel, 6),
+        "lpips_bf16_grad_cosine": round(lp_cos, 6),
+        "precision_tolerances": "loss<1e-2 cos>0.99 lpips<0.05 lpcos>0.98",
+    }
+
+
+# v5e single-chip peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM
+PEAK_FLOPS = 197e12
+PEAK_HBM_GBPS = 819.0
+
+
+def roofline(fn, n_steps=3, out_dir='/tmp/bench_roofline'):
+    """Trace `fn()` (n_steps dispatches) and sum the per-op flops /
+    bytes-accessed stats from the xplane proto; report achieved HBM GB/s
+    and MXU utilization vs chip peak (BASELINE north star: speed-of-light
+    accounting). Returns {} when the profile lacks the stats."""
+    import glob
+    import shutil
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
+                          "python")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    jax.profiler.start_trace(out_dir)
+    fn()
+    jax.profiler.stop_trace()
+    wall = time.time() - t0
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    files = glob.glob(os.path.join(out_dir, '**', '*.xplane.pb'),
+                      recursive=True)
+    if not files:
+        return {}
+    xspace = xplane_pb2.XSpace()
+    with open(sorted(files)[-1], 'rb') as f:
+        xspace.ParseFromString(f.read())
+    flops = bytes_acc = 0.0
+    op_time_ps = 0
+    for plane in xspace.planes:
+        if 'TPU' not in plane.name and 'Device' not in plane.name:
+            continue
+        stat_meta = {sid: sm.name for sid, sm in plane.stat_metadata.items()}
+        for line in plane.lines:
+            is_op_line = 'op' in line.name.lower()
+            for ev in line.events:
+                if is_op_line:
+                    op_time_ps += ev.duration_ps
+                for st in ev.stats:
+                    name = stat_meta.get(st.metadata_id, '')
+                    if name == 'flops':
+                        flops += st.uint64_value or st.int64_value
+                    elif name in ('bytes accessed', 'bytes_accessed'):
+                        bytes_acc += st.uint64_value or st.int64_value
+    if flops == 0 and bytes_acc == 0:
+        return {}
+    dt = op_time_ps / 1e12 / n_steps if op_time_ps else wall / n_steps
+    return {
+        "hbm_gbps": round(bytes_acc / n_steps / dt / 1e9, 1),
+        "hbm_util": round(bytes_acc / n_steps / dt / 1e9 / PEAK_HBM_GBPS,
+                          3),
+        "mfu": round(flops / n_steps / dt / PEAK_FLOPS, 4),
+        "roofline_step_ms": round(dt * 1000, 2),
+    }
+
+
 def main():
     from gsavatar.config import load_config
     from gsavatar.core import gaussians as G
@@ -208,6 +360,37 @@ def main():
     except Exception as e:  # never lose the perf line to a check crash
         parity = {"parity_check": f"ERROR: {type(e).__name__}: {e}"}
 
+    # precision gate: shipped bf16 config vs f32/HIGHEST (VERDICT r4 #3)
+    try:
+        precision = precision_gate(scene, state, cameras[0], weights,
+                                   bucket, pair_bucket, rect_window)
+    except Exception as e:
+        precision = {"precision_check": f"ERROR: {type(e).__name__}: {e}"}
+
+    # roofline: achieved HBM bandwidth + MXU utilization vs chip peaks
+    try:
+        def run3():
+            # train_step donates arg 0 — run on a copy so `state` stays
+            # valid for the eval-render roofline below
+            st = jax.tree.map(jnp.copy, state)
+            for i in range(3):
+                st, mm = train_step(st, cameras[i % len(cameras)],
+                                    jnp.int32(2000 + i), weights, xyz_lr,
+                                    active_sh_degree=0, bucket=bucket,
+                                    pair_bucket=pair_bucket,
+                                    rect_window=rect_window)
+            jax.block_until_ready(mm['loss/total_loss'])
+        roof = roofline(run3, n_steps=3)
+        def render3():
+            for i in range(3):
+                out = render_one(state, cameras[i % len(cameras)])
+            jax.block_until_ready(out)
+        roof_eval = roofline(render3, n_steps=3,
+                             out_dir='/tmp/bench_roofline_eval')
+        roof.update({f"eval_{k}": v for k, v in roof_eval.items()})
+    except Exception as e:
+        roof = {"roofline": f"ERROR: {type(e).__name__}: {e}"}
+
     h, w = cfg.dataset.img_hw
     pix_per_s = h * w / dt
     print(json.dumps({
@@ -224,6 +407,8 @@ def main():
         "eval_render_fps": round(eval_fps, 1),
         "eval_fps_vs_paper_50fps": round(eval_fps / EVAL_FPS_TARGET, 3),
         **parity,
+        **precision,
+        **roof,
     }))
 
 

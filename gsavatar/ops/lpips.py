@@ -158,9 +158,15 @@ def _net_features(x, wts, net: str, compute_dtype=None):
     diff / lin head so the metric value stays f32. CPU (tests, exports)
     keeps f32 end to end."""
     if compute_dtype is None:
-        compute_dtype = (jnp.bfloat16
-                         if jax.default_backend() in ('tpu', 'axon')
-                         else jnp.float32)
+        forced = os.environ.get('GSAVATAR_LPIPS_DTYPE')
+        if forced:
+            # bench precision gate: trace the same training loss with a
+            # forced backbone dtype to measure the bf16-vs-f32 delta
+            compute_dtype = jnp.dtype(forced)
+        else:
+            compute_dtype = (jnp.bfloat16
+                             if jax.default_backend() in ('tpu', 'axon')
+                             else jnp.float32)
     x = x.astype(compute_dtype)
     feats = []
     i = 0

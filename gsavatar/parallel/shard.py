@@ -41,14 +41,13 @@ from gsavatar.scene import Scene, TrainState
 
 def stack_cameras(cameras):
     """Stack a list of Camera pytrees into one batched pytree. Static
-    (non-pytree) label fields — frame_id, image_name, cam_id — differ per
-    frame and would break tree_map's treedef equality, so they are unified
-    to the first camera's values; the traced per-frame identities the model
-    actually consumes (latent_idx, pose_idx, in_frame_dict) are leaves and
-    stack normally."""
-    ref = cameras[0]
-    cameras = [c.replace(frame_id=ref.frame_id, cam_id=ref.cam_id,
-                         image_name=ref.image_name, K=ref.K)
+    (non-pytree) label fields — frame_id, image_name, cam_id, K — differ
+    per frame and would break tree_map's treedef equality AND key a fresh
+    jit trace per distinct value, so they are normalized to constants
+    (exactly like Scene.device_camera); the traced per-frame identities
+    the model actually consumes (latent_idx, pose_idx, in_frame_dict) are
+    leaves and stack normally."""
+    cameras = [c.replace(frame_id=0, cam_id=0, image_name='', K=None)
                for c in cameras]
     return jax.tree.map(lambda *xs: np.stack(xs), *cameras)
 

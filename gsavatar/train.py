@@ -127,9 +127,15 @@ def make_loss_fn(scene: Scene):
 
     def loss_fn(conv_params, gauss_params, alive, nn_ix, means2d_offset,
                 camera, iteration, weights, k_noise, k_skin,
-                active_sh_degree: int, raster_cfg=None):
+                active_sh_degree: int, raster_cfg=None,
+                pool_override=None):
         raster_cfg = (raster_cfg if raster_cfg is not None
                       else base_raster_cfg)
+        # pool_override=(pts, w): per-subject skinning pools for the
+        # multi-subject step (parallel/multi_subject.py) — the closed-over
+        # pool is subject 0's
+        pts_pool, w_pool = (pool_override if pool_override is not None
+                            else (pool_pts, pool_w))
         gview = G.Gaussians(params=gauss_params, alive=alive,
                             active_sh_degree=active_sh_degree,
                             max_sh_degree=max_deg, use_sh=use_sh)
@@ -144,9 +150,9 @@ def make_loss_fn(scene: Scene):
         loss_mask = L.mask_loss(pkg.opacity_render, gt_mask, mask_kind)
 
         # skinning distillation on a random pool minibatch
-        sel = jax.random.randint(k_skin, (n_reg,), 0, pool_pts.shape[0])
+        sel = jax.random.randint(k_skin, (n_reg,), 0, pts_pool.shape[0])
         loss_skinning = converter.apply(
-            conv_params, pool_pts[sel], pool_w[sel],
+            conv_params, pts_pool[sel], w_pool[sel],
             method=converter.skinning_loss)
 
         loss_ax, loss_ac = L.full_aiap_loss(gview, pkg.deformed_gaussians,
@@ -195,17 +201,17 @@ def make_loss_fn(scene: Scene):
     return loss_fn
 
 
-def make_train_step(scene: Scene):
+def make_step_core(scene: Scene):
+    """The un-jitted single-subject train-step body. make_train_step jits
+    it directly; the multi-subject step (parallel/multi_subject.py) vmaps
+    it over a stacked subject axis with per-subject skinning pools."""
     gauss_delay = int(scene.cfg.model.gaussian.get('delay', 0))
     loss_core = make_loss_fn(scene)
 
-    @functools.partial(jax.jit,
-                       static_argnames=('active_sh_degree', 'bucket',
-                                        'pair_bucket', 'rect_window'),
-                       donate_argnums=(0,))
-    def train_step(state: TrainState, camera, iteration, weights, xyz_lr,
-                   active_sh_degree: int = 0, bucket: int = 0,
-                   pair_bucket: int = 0, rect_window: int = 0):
+    def step_core(state: TrainState, camera, iteration, weights, xyz_lr,
+                  active_sh_degree: int = 0, bucket: int = 0,
+                  pair_bucket: int = 0, rect_window: int = 0,
+                  pool_override=None):
         # `bucket` = alive-prefix length (rounded up; densify compacts alive
         # slots to the front): every per-gaussian stage — deform, MLPs,
         # rasterize, losses, Adam — runs over bucket rows, not capacity.
@@ -238,7 +244,7 @@ def make_train_step(scene: Scene):
             return loss_core(conv_params, gauss_params, alive_b, nn_ix_b,
                              means2d_offset, camera, iteration, weights,
                              k_noise, k_skin, active_sh_degree,
-                             raster_cfg=r_cfg)
+                             raster_cfg=r_cfg, pool_override=pool_override)
 
         means2d_zero = jnp.zeros((bucket, 2))
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
@@ -282,6 +288,23 @@ def make_train_step(scene: Scene):
             conv_params=conv_params, conv_opt=conv_opt, rng=rng)
         metrics['n_alive'] = jnp.sum(aux.alive)
         return new_state, metrics
+
+    return step_core
+
+
+def make_train_step(scene: Scene):
+    step_core = make_step_core(scene)
+
+    @functools.partial(jax.jit,
+                       static_argnames=('active_sh_degree', 'bucket',
+                                        'pair_bucket', 'rect_window'),
+                       donate_argnums=(0,))
+    def train_step(state: TrainState, camera, iteration, weights, xyz_lr,
+                   active_sh_degree: int = 0, bucket: int = 0,
+                   pair_bucket: int = 0, rect_window: int = 0):
+        return step_core(state, camera, iteration, weights, xyz_lr,
+                         active_sh_degree=active_sh_degree, bucket=bucket,
+                         pair_bucket=pair_bucket, rect_window=rect_window)
 
     return train_step
 
@@ -423,6 +446,14 @@ def make_validation(scene: Scene):
 def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
              log_every: int = 10, progress: bool = True):
     """Full optimization loop. Returns (scene, final state, logger)."""
+    # multi-subject batched training: cfg.parallel.subjects = [{dataset
+    # overrides}, ...] routes to the vmapped/sharded subject-axis driver
+    # (parallel/multi_subject.py) — BASELINE config 5, no reference
+    # counterpart (the reference trains one avatar per run)
+    if scene is None and (cfg.get('parallel') or {}).get('subjects'):
+        from gsavatar.parallel.multi_subject import training_multi_subject
+        return training_multi_subject(cfg, max_iterations=max_iterations,
+                                      log_every=log_every, progress=progress)
     scene = scene or Scene(cfg, seed=max(int(cfg.get('seed', -1)), 0))
     opt = cfg.opt
     iterations = int(max_iterations or opt.iterations)
@@ -460,6 +491,15 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
     mesh_data = int(par.get('data', 0) or 0)
     mesh_model = int(par.get('model', 0) or 0)
     use_mesh = mesh_data >= 1 and mesh_model >= 1
+    # frames_per_step > mesh_data oversubscribes the data axis: the batch
+    # semantics (one optimizer step consumes B frames, batch-mean loss) are
+    # independent of the device count, so a single chip can run the exact
+    # B=2 data-parallel semantics (each device just computes several batch
+    # rows) — used to demonstrate data>1 convergence on one-chip hardware
+    batch_frames = int(par.get('frames_per_step', 0) or mesh_data)
+    if use_mesh and batch_frames % mesh_data != 0:
+        raise ValueError(f"parallel.frames_per_step ({batch_frames}) must "
+                         f"be a multiple of parallel.data ({mesh_data})")
     if use_mesh:
         import contextlib
         from gsavatar.parallel import mesh as mesh_mod
@@ -602,7 +642,7 @@ def training(cfg, scene: Optional[Scene] = None, max_iterations=None,
                 # one optimizer step over a `data`-axis camera batch; sampling
                 # is seeded identically on every process, so all hosts agree on
                 # the frame ids and shard the same global batch
-                idxs = [next_frame_idx() for _ in range(mesh_data)]
+                idxs = [next_frame_idx() for _ in range(batch_frames)]
                 batch = shard_mod.stack_cameras(
                     [scene.train_dataset[i] for i in idxs])
                 batch = shard_mod.put_batch(batch, mesh)

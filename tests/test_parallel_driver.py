@@ -93,6 +93,25 @@ def test_data_batch_model_axis_no_op(tmp_path):
     assert any('loss/total_loss' in r for r in rows)
 
 
+@pytest.mark.slow
+def test_frames_per_step_oversubscribes_one_device(tmp_path):
+    """{data:1, model:1, frames_per_step:2} == {data:2, model:1}: the
+    B=2 batch semantics are independent of the device count — the path a
+    single chip uses to run data>1 training for real."""
+    l0, x0, n0, _ = run(tmp_path, 'mesh21fps', data=2, model=1)
+    cfg = driver_cfg(tmp_path, 'fps2', data=1, model=1)
+    cfg['parallel']['frames_per_step'] = 2
+    scene, state, logger = training(cfg, log_every=1, progress=False)
+    l1 = {r['step']: r['loss/total_loss'] for r in logger.history
+          if 'loss/total_loss' in r}
+    assert set(l0) == set(l1) and len(l0) >= 6
+    for it in sorted(l0):
+        np.testing.assert_allclose(l1[it], l0[it], rtol=2e-3, atol=1e-5,
+                                   err_msg=f"iter {it}")
+    np.testing.assert_allclose(np.asarray(state.gauss_params.xyz), x0,
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_schedule_truth_table():
     """schedule_flags == a straight transcription of the reference's nested
     gates (train.py:217-227), across delay/from/interval/white_bg."""
