@@ -37,6 +37,11 @@ python -m gsavatar.train $BASE \
   "dataset.train_views=['0','1','3','4']" \
   exp_dir=RUNS/r05_data1_2k > RUNS/r05_data1_2k.log 2>&1
 
+# 3b. 2-subject batched training ON THE CHIP (VERDICT r5 #4): both
+# subjects vmapped on the one device (parallel.data=0 -> no mesh), real
+# TPU execution of the multi-subject program
+python tools/run_multi_subject_chip.py > RUNS/r05_multisubject_chip.log 2>&1
+
 # 4. OOD motion-driven animation of the 15k checkpoint (VERDICT r5 #6)
 python tools/run_predict_ood.py --ckpt RUNS/r05_views4_15k/ckpt15000 \
   --out RUNS/r05_predict_ood > RUNS/r05_predict_ood.log 2>&1
