@@ -68,11 +68,13 @@ def hierarchical_softmax(x):
 
 
 def _apply_fwd_transform(gaussians: Gaussians, T_fwd) -> Gaussians:
-    """Move xyz and premultiply rotations by the per-point LBS transform."""
+    """Move xyz and premultiply rotations by the per-point LBS transform.
+    Elementwise tiny-matmul forms (transforms.matvec3/matmul3): the `@`
+    versions cost bf16 casts + layout copies per site on TPU."""
     xyz = gaussians.get_xyz
-    x_bar = (T_fwd[:, :3, :3] @ xyz[..., None])[..., 0] + T_fwd[:, :3, 3]
+    x_bar = T.matvec3(T_fwd[:, :3, :3], xyz) + T_fwd[:, :3, 3]
     rotation_hat = T.quat_to_rotmat(gaussians.params.rotation)
-    rotation_bar = T_fwd[:, :3, :3] @ rotation_hat
+    rotation_bar = T.matmul3(T_fwd[:, :3, :3], rotation_hat)
     return gaussians.replace(
         params=gaussians.params.replace(xyz=x_bar),
         rotation_precomp=rotation_bar,

@@ -31,10 +31,12 @@ def _view_dirs(gaussians: Gaussians, camera, cano_view_dir: bool,
     # identity rigid deformer leaves no fwd transform: canonical == posed
     if cano_view_dir and gaussians.fwd_transform is not None:
         R_bwd = jnp.swapaxes(gaussians.fwd_transform[:, :3, :3], 1, 2)
-        dir_pp = (R_bwd @ dir_pp[..., None])[..., 0]
+        dir_pp = T.matvec3(R_bwd, dir_pp)
         if view_noise_rot is not None:
-            # reference multiplies by the transposed noise matrix
-            dir_pp = dir_pp @ view_noise_rot
+            # reference multiplies by the transposed noise matrix;
+            # elementwise form (transforms.matvec3 rationale): one shared
+            # (3,3) against (N,3) is still a per-point tiny dot on TPU
+            dir_pp = (dir_pp[..., :, None] * view_noise_rot[None]).sum(-2)
     return dir_pp / (jnp.linalg.norm(dir_pp, axis=1, keepdims=True) + 1e-12)
 
 

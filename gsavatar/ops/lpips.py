@@ -184,7 +184,11 @@ def _net_features(x, wts, net: str, compute_dtype=None):
                       wts[f'conv{i}_b'].astype(compute_dtype), st, pd)
             x = jax.nn.relu(x)
             i += 1
-        feats.append(x.astype(jnp.float32))
+        # tap features stay in compute dtype: the (1,64,256,256) f32
+        # buffers between the head's normalize/diff passes were ~2 ms/step
+        # of pure HBM traffic (round-5 trace); the head accumulates its
+        # sums in f32 regardless (lpips() dtype= args)
+        feats.append(x)
     return feats
 
 
@@ -213,12 +217,18 @@ def lpips(img1, img2, weights=None, normalize: bool = True,
     f2 = _net_features(prep(img2), wts, net, compute_dtype=compute_dtype)
     total = 0.0
     for li, (a, b) in enumerate(zip(f1, f2)):
-        a = a / jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True) + 1e-10)
-        b = b / jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True) + 1e-10)
-        d = (a - b) ** 2
-        lin = wts[f'lin{li}_w']                          # (1, C, 1, 1)
-        total = total + jnp.mean(jnp.sum(d * lin.reshape(1, -1, 1, 1),
-                                         axis=1))
+        # channel-norm sums accumulate in f32 even when the features ride
+        # bf16; the normalized features stay in compute dtype so the big
+        # activation buffers are written once at half width
+        na = jax.lax.rsqrt(jnp.sum((a * a).astype(jnp.float32), axis=1,
+                                   keepdims=True) + 1e-10)
+        nb = jax.lax.rsqrt(jnp.sum((b * b).astype(jnp.float32), axis=1,
+                                   keepdims=True) + 1e-10)
+        d = (a * na.astype(a.dtype) - b * nb.astype(b.dtype)) ** 2
+        lin = wts[f'lin{li}_w'].astype(d.dtype)          # (1, C, 1, 1)
+        total = total + jnp.mean(
+            jnp.sum((d * lin.reshape(1, -1, 1, 1)).astype(jnp.float32),
+                    axis=1))
     return total
 
 

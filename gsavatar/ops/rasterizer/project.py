@@ -44,13 +44,15 @@ def project(means3d, cov3d, viewmatrix, full_projmatrix, tanfovx, tanfovy,
     ones = jnp.ones((N, 1), means3d.dtype)
     p_hom4 = jnp.concatenate([means3d, ones], axis=1)
 
-    # view space
-    t = p_hom4 @ viewmatrix[:, :3]                      # (N, 3)
+    # view space — elementwise (N,4)x(4,3): a shared-matrix dot at K=4
+    # lowers to an MXU pass with f32->bf16 casts on TPU (see
+    # transforms.matvec3); broadcast-sum keeps projected centers f32
+    t = (p_hom4[:, :, None] * viewmatrix[None, :, :3]).sum(1)   # (N, 3)
     tz = t[:, 2]
     in_front = tz > near
 
     # clip space -> NDC
-    p_hom = p_hom4 @ full_projmatrix                    # (N, 4)
+    p_hom = (p_hom4[:, :, None] * full_projmatrix[None]).sum(1)  # (N, 4)
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
     p_proj = p_hom[:, :3] * p_w[:, None]
 
