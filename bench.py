@@ -209,54 +209,31 @@ PEAK_FLOPS = 197e12
 PEAK_HBM_GBPS = 819.0
 
 
-def roofline(fn, n_steps=3, out_dir='/tmp/bench_roofline'):
-    """Trace `fn()` (n_steps dispatches) and sum the per-op flops /
-    bytes-accessed stats from the xplane proto; report achieved HBM GB/s
-    and MXU utilization vs chip peak (BASELINE north star: speed-of-light
-    accounting). Returns {} when the profile lacks the stats."""
-    import glob
-    import shutil
-    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
-                          "python")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    jax.profiler.start_trace(out_dir)
-    fn()
-    jax.profiler.stop_trace()
-    wall = time.time() - t0
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    files = glob.glob(os.path.join(out_dir, '**', '*.xplane.pb'),
-                      recursive=True)
-    if not files:
+def roofline(jitted, dt, args=(), kwargs=None):
+    """Speed-of-light accounting (BASELINE north star) from XLA's static
+    cost analysis of the COMPILED program divided by the measured
+    seconds/dispatch `dt`. The axon backend's profiler xplane carries
+    durations only — no per-op flops / bytes-accessed stats (verified
+    with tools/dump_xplane_stats.py) — so the compiler's cost model is
+    the bytes/flops source: 'bytes accessed' is XLA's post-fusion
+    estimate of memory traffic (an upper-ish bound that counts some
+    VMEM-resident reuse), flops the algorithmic count. Returns {} when
+    the backend exposes no cost analysis."""
+    try:
+        compiled = jitted.lower(*args, **(kwargs or {})).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get('flops', 0.0) or 0.0)
+        bytes_acc = float(ca.get('bytes accessed', 0.0) or 0.0)
+    except Exception:
         return {}
-    xspace = xplane_pb2.XSpace()
-    with open(sorted(files)[-1], 'rb') as f:
-        xspace.ParseFromString(f.read())
-    flops = bytes_acc = 0.0
-    op_time_ps = 0
-    for plane in xspace.planes:
-        if 'TPU' not in plane.name and 'Device' not in plane.name:
-            continue
-        stat_meta = {sid: sm.name for sid, sm in plane.stat_metadata.items()}
-        for line in plane.lines:
-            is_op_line = 'op' in line.name.lower()
-            for ev in line.events:
-                if is_op_line:
-                    op_time_ps += ev.duration_ps
-                for st in ev.stats:
-                    name = stat_meta.get(st.metadata_id, '')
-                    if name == 'flops':
-                        flops += st.uint64_value or st.int64_value
-                    elif name in ('bytes accessed', 'bytes_accessed'):
-                        bytes_acc += st.uint64_value or st.int64_value
-    if flops == 0 and bytes_acc == 0:
+    if flops <= 0 and bytes_acc <= 0:
         return {}
-    dt = op_time_ps / 1e12 / n_steps if op_time_ps else wall / n_steps
     return {
-        "hbm_gbps": round(bytes_acc / n_steps / dt / 1e9, 1),
-        "hbm_util": round(bytes_acc / n_steps / dt / 1e9 / PEAK_HBM_GBPS,
-                          3),
-        "mfu": round(flops / n_steps / dt / PEAK_FLOPS, 4),
+        "hbm_gbps": round(bytes_acc / dt / 1e9, 1),
+        "hbm_util": round(bytes_acc / dt / 1e9 / PEAK_HBM_GBPS, 3),
+        "mfu": round(flops / dt / PEAK_FLOPS, 4),
         "roofline_step_ms": round(dt * 1000, 2),
     }
 
@@ -367,26 +344,18 @@ def main():
     except Exception as e:
         precision = {"precision_check": f"ERROR: {type(e).__name__}: {e}"}
 
-    # roofline: achieved HBM bandwidth + MXU utilization vs chip peaks
+    # roofline: achieved HBM bandwidth + MXU utilization vs chip peaks,
+    # from the compiled programs' static cost analysis over the measured
+    # per-dispatch times (dt for the train step, 1/eval_fps for the render)
     try:
-        def run3():
-            # train_step donates arg 0 — run on a copy so `state` stays
-            # valid for the eval-render roofline below
-            st = jax.tree.map(jnp.copy, state)
-            for i in range(3):
-                st, mm = train_step(st, cameras[i % len(cameras)],
-                                    jnp.int32(2000 + i), weights, xyz_lr,
-                                    active_sh_degree=0, bucket=bucket,
+        roof = roofline(train_step, dt,
+                        args=(state, cameras[0], jnp.int32(1000), weights,
+                              xyz_lr),
+                        kwargs=dict(active_sh_degree=0, bucket=bucket,
                                     pair_bucket=pair_bucket,
-                                    rect_window=rect_window)
-            jax.block_until_ready(mm['loss/total_loss'])
-        roof = roofline(run3, n_steps=3)
-        def render3():
-            for i in range(3):
-                out = render_one(state, cameras[i % len(cameras)])
-            jax.block_until_ready(out)
-        roof_eval = roofline(render3, n_steps=3,
-                             out_dir='/tmp/bench_roofline_eval')
+                                    rect_window=rect_window))
+        roof_eval = roofline(render_one, 1.0 / eval_fps,
+                             args=(state, cameras[0]))
         roof.update({f"eval_{k}": v for k, v in roof_eval.items()})
     except Exception as e:
         roof = {"roofline": f"ERROR: {type(e).__name__}: {e}"}

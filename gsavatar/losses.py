@@ -57,7 +57,9 @@ def _safe_norm(x, axis=-1):
 def aiap_loss(x_can, x_obs, nn_ix, alive):
     """L1 between canonical and deformed neighbor distances
     (utils/loss_utils.py:87-102), masked to alive arena slots. Neighbor
-    gathers run through the scatter-free transpose (ops/segsum.py)."""
+    gathers run through the scatter-free transpose (ops/segsum.py).
+    Single-attribute variant kept for ad-hoc use; the train step goes
+    through full_aiap_loss's fused columnar path below."""
     from gsavatar.ops.segsum import gather_rows
     k = nn_ix.shape[1]
     flat = nn_ix.reshape(-1)
@@ -71,9 +73,21 @@ def aiap_loss(x_can, x_obs, nn_ix, alive):
 
 
 def full_aiap_loss(gs_can, gs_obs, n_neighbors: int = 5, nn_ix=None):
-    """KNN on canonical positions shared by both terms
-    (utils/loss_utils.py:69-85). Pass cached `nn_ix` (N, k) to skip the
-    per-step KNN (refreshed on the densify cadence — see GaussianAux)."""
+    """Both AIAP terms (utils/loss_utils.py:69-85), KNN on canonical
+    positions shared by both. Pass cached `nn_ix` (N, k) to skip the
+    per-step KNN (refreshed on the densify cadence — see GaussianAux).
+
+    TPU shape discipline (measured, round 5): the naive (N, k, C)
+    formulation puts C = 3/6 on the 128-lane minor dim, so every
+    broadcast/sub/reduce pass runs 21-42x oversized and XLA inserts
+    reshape relayouts around each — ~8 ms/step at the bench shape. Here
+    the post-gather math is slot-major columnar (C, k, N) — N rides the
+    lane dim end to end and each elementwise pass touches 6.4 MB instead
+    of 136 MB. The gathers stay one-per-attribute: a fused (k*N, 18)
+    gather was measured 37 ms/step SLOWER — its VJP rides all 18 f32
+    cotangent columns through one segment-sum sort (19-operand lax.sort)
+    where the per-attribute VJPs sort 4/7 operands."""
+    from gsavatar.ops.segsum import gather_rows
     xyz_can = gs_can.get_xyz
     xyz_obs = gs_obs.get_xyz
     cov_can = gs_can.get_covariance()
@@ -81,9 +95,21 @@ def full_aiap_loss(gs_can, gs_obs, n_neighbors: int = 5, nn_ix=None):
     alive = gs_can.alive
     if nn_ix is None:
         nn_ix = knn.knn_self(xyz_can, n_neighbors, mask=alive)
-    loss_xyz = aiap_loss(xyz_can, xyz_obs, nn_ix, alive)
-    loss_cov = aiap_loss(cov_can, cov_obs, nn_ix, alive)
-    return loss_xyz, loss_cov
+    n, k = nn_ix.shape
+    flat = nn_ix.T.reshape(-1)            # slot-major: block j = slot j
+
+    def dist(x):                          # _safe_norm, columnar
+        C = x.shape[-1]
+        nbT = gather_rows(x, flat).T.reshape(C, k, n)
+        d = x.T.reshape(C, 1, n) - nbT
+        return jnp.sqrt(jnp.sum(d * d, axis=0) + 1e-20)   # (k, N)
+
+    err_xyz = jnp.abs(dist(xyz_can) - dist(xyz_obs))
+    err_cov = jnp.abs(dist(cov_can) - dist(cov_obs))
+    w = alive.astype(err_xyz.dtype)[None, :]
+    denom = jnp.maximum(jnp.sum(w) * k, 1.0)
+    return (jnp.sum(err_xyz * w) / denom,
+            jnp.sum(err_cov * w) / denom)
 
 
 def opacity_entropy_loss(opacity, alive):
